@@ -1,0 +1,115 @@
+"""Driver-side reference implementations (independent of the engine code).
+
+Mirrors the reference's differential-testing discipline
+(``ConnectedComponentsTest.java:30-62``: parallel BFS CC vs sequential
+Tarjan; ``HyperBallTest``: HyperBall vs SequentialHyperBall).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+
+def cc_union_find(arcs, nodes):
+    """Undirected connected components; comp = min member id."""
+    parent = {v: v for v in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in arcs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    groups: dict[int, list[int]] = {}
+    for v in nodes:
+        groups.setdefault(find(v), []).append(v)
+    out = {}
+    for members in groups.values():
+        m = min(members)
+        for v in members:
+            out[v] = m
+    return out
+
+
+def lpa_sync(arcs, nodes, max_iter):
+    """Synchronous LPA, min tie-break, over the symmetrized graph."""
+    nbrs: dict[int, list[int]] = {v: [] for v in nodes}
+    seen = set()
+    for a, b in arcs:
+        for x, y in ((a, b), (b, a)):
+            if x != y or True:  # loops allowed; symmetrize
+                if (x, y) not in seen:
+                    seen.add((x, y))
+                    nbrs[y].append(x)  # in-neighbours under symmetrized arcs
+    labels = {v: v for v in nodes}
+    for _ in range(max_iter):
+        new = {}
+        for v in nodes:
+            if not nbrs[v]:
+                new[v] = labels[v]
+                continue
+            cnt = Counter(labels[u] for u in nbrs[v])
+            best = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[v] = best[0]
+        if new == labels:
+            labels = new
+            break
+        labels = new
+    return labels
+
+
+def triangles_brute(arcs, nodes):
+    """Exact triangle enumeration on the simple (symmetrized, loop-free) graph."""
+    adj: dict[int, set[int]] = {v: set() for v in nodes}
+    for a, b in arcs:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    count = 0
+    per_vertex = Counter()
+    vs = sorted(nodes)
+    for i, a in enumerate(vs):
+        for b in adj[a]:
+            if b <= a:
+                continue
+            for c in adj[a] & adj[b]:
+                if c > b:
+                    count += 1
+                    per_vertex[a] += 1
+                    per_vertex[b] += 1
+                    per_vertex[c] += 1
+    return count, dict(per_vertex)
+
+
+def bfs_dists(arcs, sources):
+    adj: dict[int, list[int]] = {}
+    for a, b in arcs:
+        adj.setdefault(a, []).append(b)
+    dist = {s: 0 for s in sources}
+    frontier = list(sources)
+    d = 0
+    while frontier:
+        d += 1
+        nxt = []
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = d
+                    nxt.append(v)
+        frontier = nxt
+    return dist
+
+
+def er_arcs(n, p, seed):
+    """Seeded Erdős–Rényi G(n,p) arcs (reference: examples/ErdosRenyiGraph.java:59)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    m = rng.random((n, n)) < p
+    np.fill_diagonal(m, False)
+    src, dst = np.nonzero(m)
+    return list(zip(src.tolist(), dst.tolist()))

@@ -1,0 +1,61 @@
+"""Connected components: closed-form fixtures + union-find differential oracle
+(reference pattern: ``ConnectedComponentsTest.java:30-62``)."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.oracles import cc_union_find, er_arcs
+from webgraph_spark.algo.components import (
+    hash_min_components,
+    largest_component,
+    renumber_by_size,
+)
+
+
+def _comp_map(df, col="comp"):
+    return {r["id"]: r[col] for r in df.collect()}
+
+
+def test_two_islands_and_isolated(spark):
+    # Component A: 0-1-2 path; component B: 10-11; isolated: 20.
+    arcs = [(0, 1), (1, 2), (10, 11)]
+    edges = spark.createDataFrame(arcs, "src long, dst long")
+    nodes = spark.createDataFrame([(i,) for i in [0, 1, 2, 10, 11, 20]], "id long")
+    res = hash_min_components(edges, nodes)
+    got = _comp_map(res.components)
+    assert got == {0: 0, 1: 0, 2: 0, 10: 10, 11: 10, 20: 20}
+    # Renumber by size: {0,1,2} -> 0, {10,11} -> 1, {20} -> 2.
+    ren = _comp_map(renumber_by_size(res.components), "component")
+    assert ren == {0: 0, 1: 0, 2: 0, 10: 1, 11: 1, 20: 2}
+    big = sorted(r["id"] for r in largest_component(res.components).collect())
+    assert big == [0, 1, 2]
+
+
+def test_long_chain_converges(spark):
+    # Hash-min needs O(diameter) rounds; a 60-chain exercises the loop depth.
+    n = 60
+    arcs = [(i, i + 1) for i in range(n - 1)]
+    edges = spark.createDataFrame(arcs, "src long, dst long")
+    res = hash_min_components(edges, max_iter=100)
+    got = _comp_map(res.components)
+    assert set(got.values()) == {0}
+    assert res.changed_per_iter[-1] == 0
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_er_vs_union_find(spark, seed):
+    n = 100
+    arcs = er_arcs(n, 0.012, seed)
+    nodes = list(range(n))
+    edges = spark.createDataFrame(arcs or [(0, 0)], "src long, dst long")
+    ndf = spark.createDataFrame([(i,) for i in nodes], "id long")
+    res = hash_min_components(edges, ndf)
+    assert _comp_map(res.components) == cc_union_find(arcs, nodes)
+
+
+def test_directed_arcs_treated_undirected(spark):
+    # 0->1, 2->1: one component despite no directed path 0..2.
+    edges = spark.createDataFrame([(0, 1), (2, 1)], "src long, dst long")
+    res = hash_min_components(edges)
+    assert set(_comp_map(res.components).values()) == {0}

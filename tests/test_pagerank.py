@@ -1,0 +1,100 @@
+"""PageRank correctness: closed-form fixtures + numpy oracle + differential
+CSR-vs-edges execution (SURVEY §2.6 required analytics; north_rule gate:
+allclose 1e-6 at convergence, L1 stop < 1e-9)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tests.oracles import er_arcs
+from webgraph_spark.algo.pagerank import (
+    pagerank,
+    pagerank_edges,
+    pagerank_numpy,
+)
+from webgraph_spark.plans.csr import build_csr
+
+
+def _nodes(spark, n):
+    return spark.range(n).select(F.col("id"))
+
+
+def _rank_vec(df, n):
+    out = np.zeros(n)
+    for r in df.collect():
+        out[r["id"]] = r["rank"]
+    return out
+
+
+def test_cycle_uniform(spark):
+    # Directed 40-cycle: PageRank is exactly uniform 1/40.
+    n = 40
+    arcs = [(i, (i + 1) % n) for i in range(n)]
+    edges = spark.createDataFrame(arcs, "src long, dst long")
+    csr = build_csr(edges, num_blocks=3)
+    res = pagerank(spark, csr, _nodes(spark, n), tol=1e-9)
+    assert res.converged
+    vec = _rank_vec(res.ranks, n)
+    assert np.allclose(vec, 1.0 / n, atol=1e-6)
+    assert abs(vec.sum() - 1.0) < 1e-9
+
+
+def test_complete_k7_uniform(spark):
+    n = 7
+    arcs = [(i, j) for i in range(n) for j in range(n) if i != j]
+    edges = spark.createDataFrame(arcs, "src long, dst long")
+    csr = build_csr(edges, num_blocks=2)
+    res = pagerank(spark, csr, _nodes(spark, n))
+    vec = _rank_vec(res.ranks, n)
+    assert np.allclose(vec, 1.0 / n, atol=1e-6)
+
+
+def test_dangling_mass_redistribution(spark):
+    # Star into a sink: node 0..3 -> 4; 4 has no out-arcs (dangling).
+    arcs = [(i, 4) for i in range(4)]
+    edges = spark.createDataFrame(arcs, "src long, dst long")
+    csr = build_csr(edges, num_blocks=1)
+    res = pagerank(spark, csr, _nodes(spark, 5), tol=1e-12, max_iter=500)
+    vec = _rank_vec(res.ranks, 5)
+    expect = pagerank_numpy(arcs, 5, tol=1e-12, max_iter=500)
+    assert np.allclose(vec, expect, atol=1e-8)
+    assert abs(vec.sum() - 1.0) < 1e-9
+
+
+@pytest.mark.parametrize("seed", [1, 2])
+def test_er_vs_numpy_oracle(spark, seed):
+    n = 120
+    arcs = er_arcs(n, 0.04, seed)
+    edges = spark.createDataFrame(arcs, "src long, dst long")
+    csr = build_csr(edges, num_blocks=4)
+    res = pagerank(spark, csr, _nodes(spark, n), tol=1e-9)
+    assert res.converged
+    vec = _rank_vec(res.ranks, n)
+    expect = pagerank_numpy(arcs, n, tol=1e-9)
+    assert np.allclose(vec, expect, atol=1e-6)
+    # Deltas must be monotically shrinking overall (power iteration contract)
+    assert res.deltas[-1] < 1e-9
+
+
+def test_csr_vs_edges_differential(spark):
+    # Two independent executions (CSR kernel vs plain join/agg) must agree
+    # to float precision — the SequentialHyperBall-style differential test.
+    arcs = er_arcs(80, 0.05, 7)
+    edges = spark.createDataFrame(arcs, "src long, dst long")
+    nodes = _nodes(spark, 80)
+    csr = build_csr(edges, num_blocks=3)
+    r1 = pagerank(spark, csr, nodes, tol=1e-9)
+    r2 = pagerank_edges(edges, nodes, tol=1e-9)
+    v1, v2 = _rank_vec(r1.ranks, 80), _rank_vec(r2.ranks, 80)
+    assert np.allclose(v1, v2, atol=1e-9)
+
+
+def test_fixed_iteration_matches_numpy(spark):
+    arcs = er_arcs(60, 0.06, 3)
+    edges = spark.createDataFrame(arcs, "src long, dst long")
+    res = pagerank_edges(edges, _nodes(spark, 60), n_iter=5)
+    vec = _rank_vec(res.ranks, 60)
+    expect = pagerank_numpy(arcs, 60, n_iter=5)
+    assert np.allclose(vec, expect, atol=1e-12)

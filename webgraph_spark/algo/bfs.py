@@ -1,0 +1,80 @@
+"""Frontier BFS: single/multi-source distances + neighbourhood function.
+
+Reference: ``algo/ParallelBreadthFirstVisit.java:65-245`` (level-synchronous
+parallel BFS, frontier queue + cutpoints per level). The Spark formulation:
+the frontier is a DataFrame; one join per level expands it; visited state is
+the accumulated distance table. ``NeighbourhoodFunction``
+(``algo/NeighbourhoodFunction.java:58-100``) = n BFS runs, used here only as
+a test-scale oracle exactly as the reference uses it for HyperBall tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_depth: int = 64,
+) -> DataFrame:
+    """Distances from a source set ``(id)`` along directed arcs -> (id, dist).
+
+    Unreached nodes are absent (the reference marks them -1). Level loop =
+    driver iterations; each level is one join + anti-join of the frontier.
+    """
+    visited = sources.select("id").withColumn("dist", F.lit(0)).localCheckpoint(
+        eager=True
+    )
+    frontier = visited
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            edges.join(frontier, edges["src"] == frontier["id"])
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(visited.select("id"), "id", "left_anti")
+            .withColumn("dist", F.lit(depth))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited
+
+
+def eccentricity_info(distances: DataFrame) -> dict:
+    """max distance + node attaining it (``ParallelBreadthFirstVisit.java:315-330``)."""
+    row = distances.agg(
+        F.max("dist").alias("ecc"), F.max_by("id", "dist").alias("node")
+    ).collect()[0]
+    return {"eccentricity": row["ecc"], "node_at_max_distance": row["node"]}
+
+
+def neighbourhood_function(
+    edges: DataFrame, nodes: DataFrame, max_t: int = 32
+) -> list[int]:
+    """Exact N(t) = number of pairs within distance <= t, by iterative pair
+    expansion (test-scale oracle; ``NeighbourhoodFunction.java:100``).
+
+    State = reachable pair set (src, id, dist<=t); grows to n^2 worst case —
+    use only on fixtures, exactly like the reference's exact NF.
+    """
+    pairs = nodes.select(F.col("id").alias("s"), F.col("id").alias("v"))
+    pairs = pairs.localCheckpoint(eager=True)
+    nf = [pairs.count()]
+    for _ in range(1, max_t + 1):
+        expanded = (
+            pairs.join(edges, pairs["v"] == edges["src"])
+            .select("s", F.col("dst").alias("v"))
+            .unionByName(pairs)
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        cnt = expanded.count()
+        if cnt == nf[-1]:
+            break
+        nf.append(cnt)
+        pairs = expanded
+    return nf

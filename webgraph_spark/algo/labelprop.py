@@ -1,0 +1,95 @@
+"""Synchronous label propagation with deterministic min tie-break.
+
+Not in the reference (no label propagation anywhere in /root/reference);
+semantics fixed for exact reproducibility (north_rule): at each round every
+node simultaneously takes the most frequent label among its in-neighbours
+over the symmetrized graph; ties broken by the smallest label; nodes with no
+neighbours keep their label. Deterministic given (graph, max_iter).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from webgraph_spark.operators.transform import symmetrize
+
+
+@dataclass
+class LabelPropResult:
+    labels: DataFrame  # (id, label)
+    iterations: int
+    changed_per_iter: list[int] = field(default_factory=list)
+    iter_seconds: list[float] = field(default_factory=list)
+
+
+def label_propagation(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    max_iter: int = 20,
+    checkpointer=None,
+    initial: DataFrame | None = None,
+    start_iteration: int = 0,
+) -> LabelPropResult:
+    """Synchronous LPA. Stops at fixpoint or after ``max_iter`` rounds
+    (synchronous LPA can 2-cycle on bipartite structure — the cap is part of
+    the deterministic contract, mirrored by the fixed-iteration SQL oracle).
+    """
+    sym = symmetrize(edges).persist()
+    sym.count()
+    if nodes is None:
+        nodes = (
+            edges.select(F.col("src").alias("id"))
+            .union(edges.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+    nodes = nodes.select("id").persist()
+    labels = (
+        initial.select("id", "label")
+        if initial is not None
+        else nodes.withColumn("label", F.col("id"))
+    ).localCheckpoint(eager=True)
+
+    result = LabelPropResult(labels=labels, iterations=start_iteration)
+    for it in range(start_iteration, max_iter):
+        t0 = time.monotonic()
+        counts = (
+            sym.join(labels, sym["src"] == labels["id"])
+            .groupBy(F.col("dst"), F.col("label"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        w = Window.partitionBy("dst").orderBy(F.desc("cnt"), F.asc("label"))
+        winner = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("dst").alias("id"), F.col("label").alias("new_label"))
+        )
+        new_labels = (
+            labels.join(winner, "id", "left")
+            .select(
+                "id", F.coalesce("new_label", "label").alias("label")
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        wall = time.monotonic() - t0
+        result.changed_per_iter.append(changed)
+        result.iter_seconds.append(wall)
+        result.iterations = it + 1
+        if checkpointer is not None:
+            checkpointer.save_iteration(
+                new_labels, it + 1, wall_s=wall, delta=float(changed)
+            )
+        labels = new_labels
+        if changed == 0:
+            break
+    result.labels = labels
+    return result

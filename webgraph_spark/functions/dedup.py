@@ -1,0 +1,280 @@
+"""Deduplication suite: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Training-data pipeline operators (no reference counterpart — the reference
+dedups *arcs*, ``Transform.java:1575-1592``; these dedup *documents*).
+
+Scale notes (100 TB stance):
+
+- exact: one hash-groupBy on sha256(normalized text) — embarrassingly
+  parallel, map-side combinable.
+- exact n-gram Jaccard: inverted shingle index self-join. The classic guard
+  against quadratic blowup is dropping ultra-common shingles (stopword
+  shingles hit every doc); exposed as ``max_shingle_freq``.
+- MinHash+LSH: signatures are pure column expressions (nested
+  ``transform``/``array_min`` over xxhash64 — whole-stage codegen, no UDF);
+  banding turns near-dup search into an equi groupBy join. Candidates are
+  verified with exact Jaccard so the output has no false positives; recall
+  is the standard LSH s-curve in (bands, rows).
+- SimHash: 64-bit signature via one Arrow-vectorized pandas UDF (numpy bit
+  ops over token hash arrays); near-dup pairs via chunk-match candidates +
+  popcount verification (bit_count, JVM-side).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def normalized_text(text_col: str = "text") -> Column:
+    return F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+
+
+def exact_duplicate_groups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Groups of byte-identical (normalized) docs: (fingerprint, n_docs, keeper).
+
+    keeper = min id (deterministic survivor selection).
+    """
+    return (
+        df.select(F.col(id_col), F.sha2(normalized_text(text_col), 256).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("keeper"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def dedup_exact(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Keep one doc (min id) per fingerprint."""
+    fp = df.withColumn("__fp", F.sha2(normalized_text(text_col), 256))
+    keep = fp.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+    return fp.join(keep, [id_col, "__fp"], "leftsemi").drop("__fp")
+
+
+def shingle_col(text_col: str = "text", n: int = 3) -> Column:
+    """Distinct word n-gram shingles of normalized text (sorted for
+    determinism)."""
+    toks = F.filter(
+        F.split(normalized_text(text_col), " "), lambda t: t != F.lit("")
+    )
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    return F.array_sort(F.array_distinct(grams))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """EXACT all-pairs n-gram Jaccard >= threshold via inverted shingle index.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b. ``max_shingle_freq``
+    drops shingles occurring in more than that many docs (blowup guard at
+    scale; None = exact over everything).
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), shingle_col(text_col, n).alias("sh")
+    ).persist()
+    sizes = sh.select("id", F.size("sh").alias("sz"))
+    inv = sh.select("id", F.explode("sh").alias("g"))
+    if max_shingle_freq is not None:
+        freq = inv.groupBy("g").agg(F.count(F.lit(1)).alias("f"))
+        inv = inv.join(freq.filter(F.col("f") <= max_shingle_freq), "g", "leftsemi")
+    a = inv.select(F.col("id").alias("id_a"), "g")
+    b = inv.select(F.col("id").alias("id_b"), "g")
+    inter = (
+        a.join(b, "g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sz_a = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signature(
+    text_col: str = "text", n: int = 3, num_hashes: int = 64, seed: int = 42
+) -> Column:
+    """MinHash signature as array<long>: min over shingles of xxhash64(g, i).
+
+    Pure column expression — nested transform/array_min stays inside
+    whole-stage codegen; no Python.
+    """
+    sh = shingle_col(text_col, n)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(sh, lambda g: F.xxhash64(g, i, F.lit(seed)))
+        ),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup pairs via MinHash banding, verified with exact Jaccard.
+
+    rows_per_band = num_hashes // bands; candidate pairs collide on at least
+    one band; each candidate is verified (no false positives; recall follows
+    the (bands, rows) s-curve).
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sigs = df.select(
+        F.col(id_col).alias("id"),
+        shingle_col(text_col, n).alias("sh"),
+        minhash_signature(text_col, n, num_hashes, seed).alias("sig"),
+    ).persist()
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(F.slice("sig", b * r + 1, r)).alias("bh"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    ca = banded.select(F.col("id").alias("id_a"), "band", "bh")
+    cb = banded.select(F.col("id").alias("id_b"), "band", "bh")
+    cands = (
+        ca.join(cb, ["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sh_a = sigs.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = sigs.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    verified = (
+        cands.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return verified
+
+
+def simhash_col(text_col: str = "text", seed: int = 42) -> Column:
+    """64-bit SimHash of whitespace tokens, Arrow-vectorized.
+
+    One pandas UDF: per batch, hash tokens (numpy via pandas hashing of the
+    exploded arrays would shuffle — instead we fold Python's stable-by-value
+    xxhash from Spark first). Implemented as: Spark computes the token hash
+    arrays JVM-side; the UDF only does the bit-vote accumulation in numpy.
+    """
+    toks = F.filter(
+        F.split(normalized_text(text_col), " "), lambda t: t != F.lit("")
+    )
+    tok_hashes = F.transform(toks, lambda t: F.xxhash64(t, F.lit(seed)))
+
+    @pandas_udf("long")
+    def fold(hashes: pd.Series) -> pd.Series:
+        out = np.zeros(len(hashes), dtype=np.int64)
+        for i, arr in enumerate(hashes):
+            if arr is None or len(arr) == 0:
+                continue
+            h = np.asarray(arr, dtype=np.int64).astype(np.uint64)
+            # bit matrix: (n_tokens, 64) of 0/1 votes
+            bits = (h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+            votes = bits.sum(axis=0) * 2 - len(h)  # +1/-1 votes summed
+            sig = np.uint64(0)
+            for b in np.nonzero(votes > 0)[0]:
+                sig |= np.uint64(1) << np.uint64(b)
+            out[i] = sig.astype(np.int64)
+        return pd.Series(out)
+
+    return fold(tok_hashes)
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup pairs with SimHash hamming distance <= max_hamming.
+
+    Pigeonhole banding: split 64 bits into (max_hamming + 1) chunks; any pair
+    within distance d agrees exactly on >= 1 chunk -> candidates from chunk
+    equality, verified with bit_count(xor) (JVM-side).
+    """
+    chunks = max_hamming + 1
+    width = 64 // chunks
+    sigs = df.select(
+        F.col(id_col).alias("id"), simhash_col(text_col, seed).alias("sig")
+    ).persist()
+    mask = (1 << width) - 1
+    chunk_arr = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftrightunsigned(F.col("sig"), c * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("ch"),
+            )
+            for c in range(chunks)
+        ]
+    )
+    banded = sigs.select("id", "sig", F.explode(chunk_arr).alias("cc")).select(
+        "id", "sig", F.col("cc.chunk").alias("chunk"), F.col("cc.ch").alias("ch")
+    )
+    a = banded.select(
+        F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "chunk", "ch"
+    )
+    b = banded.select(
+        F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "chunk", "ch"
+    )
+    return (
+        a.join(b, ["chunk", "ch"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+        .withColumn(
+            "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

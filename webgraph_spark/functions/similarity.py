@@ -1,0 +1,201 @@
+"""Similarity search over an embedding column (array<float>).
+
+Training-data pipeline operator (no reference counterpart). Two paths:
+
+- :func:`cosine_topk` — brute-force baseline: broadcast the (small) query
+  set, JVM-side dot products (``aggregate(zip_with(...))`` — codegen, no
+  Python), window top-k. Exact; O(|corpus| x |queries|).
+- :func:`cosine_topk_lsh` — the scale path: random-hyperplane LSH buckets
+  (sign bits of dot products with hash-derived ±1 planes, one vectorized
+  numpy matmul per Arrow batch), candidates restricted to matching buckets
+  (multi-table OR), then exact re-scoring. Recall < 1 by construction; the
+  bucket tables trade recall for candidate count exactly like MinHash bands.
+- :func:`cosine_neardup_pairs` — embedding near-duplicate pairs (cos >= t)
+  via the same LSH bucketing, verified exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: (x * x).cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbours for each query row.
+
+    Returns (query_id, neighbor_id, score); self-matches excluded; ties
+    broken by neighbor id (deterministic). The query side is broadcast —
+    this is the 'small probe set against huge corpus' shape.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "score", _dot("qv", "cv") / (_norm("qv") * _norm("cv"))
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "score", "rn")
+    )
+
+
+def _hyperplane_bits_udf(dim: int, num_planes: int, seed: int, table: int):
+    """Vectorized bucket id: sign bits of V @ P for deterministic ±1 planes."""
+    rng = np.random.default_rng(seed * 1_000_003 + table)
+    planes = rng.choice([-1.0, 1.0], size=(dim, num_planes)).astype(np.float64)
+
+    @pandas_udf("long")
+    def bucket(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in vecs]
+        )  # (batch, dim)
+        bits = (mat @ planes) > 0  # (batch, planes)
+        weights = (1 << np.arange(num_planes, dtype=np.int64))
+        return pd.Series(bits.astype(np.int64) @ weights)
+
+    return bucket
+
+
+def with_lsh_buckets(
+    df: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    num_planes: int = 12,
+    num_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Add ``buckets array<long>`` — one random-hyperplane bucket per table."""
+    cols = [
+        _hyperplane_bits_udf(dim, num_planes, seed, t)(F.col(vec_col)).alias(
+            f"__b{t}"
+        )
+        for t in range(num_tables)
+    ]
+    out = df.select("*", *cols)
+    return out.withColumn(
+        "buckets", F.array(*[F.col(f"__b{t}") for t in range(num_tables)])
+    ).drop(*[f"__b{t}" for t in range(num_tables)])
+
+
+def cosine_topk_lsh(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 10,
+    num_tables: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates share an LSH bucket in >= 1 table, then
+    exact cosine re-scoring. Same output schema as :func:`cosine_topk`."""
+    e = with_lsh_buckets(
+        embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
+        dim, "cv", num_planes, num_tables, seed,
+    ).select(
+        "neighbor_id", "cv",
+        F.explode(
+            F.transform(
+                "buckets",
+                lambda b, i: F.struct(i.alias("t"), b.alias("bk")),
+            )
+        ).alias("tb"),
+    ).select("neighbor_id", "cv", F.col("tb.t").alias("t"), F.col("tb.bk").alias("bk"))
+    q = with_lsh_buckets(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
+        dim, "qv", num_planes, num_tables, seed,
+    ).select(
+        "query_id", "qv",
+        F.explode(
+            F.transform(
+                "buckets", lambda b, i: F.struct(i.alias("t"), b.alias("bk"))
+            )
+        ).alias("tb"),
+    ).select("query_id", "qv", F.col("tb.t").alias("t"), F.col("tb.bk").alias("bk"))
+    cands = (
+        e.join(F.broadcast(q), ["t", "bk"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "qv", "neighbor_id", "cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cands.withColumn(
+        "score", _dot("qv", "cv") / (_norm("qv") * _norm("cv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "score", "rn")
+    )
+
+
+def cosine_neardup_pairs(
+    embeddings: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 8,
+    num_tables: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-duplicate pairs (cosine >= threshold), LSH-bucketed
+    candidates verified exactly. Returns (id_a, id_b, score), id_a < id_b."""
+    e = with_lsh_buckets(
+        embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
+        dim, "v", num_planes, num_tables, seed,
+    ).select(
+        "id", "v",
+        F.explode(
+            F.transform("buckets", lambda b, i: F.struct(i.alias("t"), b.alias("bk")))
+        ).alias("tb"),
+    ).select("id", "v", F.col("tb.t").alias("t"), F.col("tb.bk").alias("bk"))
+    a = e.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "t", "bk")
+    b = e.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "t", "bk")
+    return (
+        a.join(b, ["t", "bk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("score", _dot("va", "vb") / (_norm("va") * _norm("vb")))
+        .filter(F.col("score") >= threshold)
+        .select("id_a", "id_b", "score")
+    )
