@@ -218,7 +218,8 @@ def simhash_col(text_col: str = "text", seed: int = 42) -> Column:
             h = np.asarray(arr, dtype=np.int64).astype(np.uint64)
             # bit matrix: (n_tokens, 64) of 0/1 votes
             bits = (h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-            votes = bits.sum(axis=0) * 2 - len(h)  # +1/-1 votes summed
+            # int64, not uint64: negative vote totals must stay negative
+            votes = bits.sum(axis=0).astype(np.int64) * 2 - len(h)
             sig = np.uint64(0)
             for b in np.nonzero(votes > 0)[0]:
                 sig |= np.uint64(1) << np.uint64(b)
