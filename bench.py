@@ -1,0 +1,193 @@
+"""Headline benchmark harness (SpeedTest analogue, SURVEY.md §6).
+
+Runs the engine's flagship jobs on the driver testdata at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) under
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line::
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": <sf>, ...extras}
+
+The bench graph is a 3-layer directed cycle derived from the TPC-H-ish
+tables (supplier -> part -> customer -> supplier via lineitem/orders joins):
+~1.75M distinct arcs over ~36k nodes at sf0.1 — every layer reachable, no
+trivial fixpoints, natural key skew. ``--multiplier K`` tensor-expands the
+graph K-fold (node id -> id*K+salt, arcs replicated across salts) for
+scaling experiments on identical logical structure.
+
+Protocol mirrors the reference's SpeedTest (3 warmup + repeats →
+medians, ``test/SpeedTest.java:45-46``) scaled down to: persist+count
+inputs outside the timer, report per-query wall plus per-iteration medians
+for the iterative jobs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import sys
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from webgraph_spark.algo.bfs import bfs_distances
+from webgraph_spark.algo.components import hash_min_components
+from webgraph_spark.algo.labelprop import label_propagation
+from webgraph_spark.algo.pagerank import pagerank, pagerank_edges
+from webgraph_spark.algo.triangles import triangle_vertices
+from webgraph_spark.functions.dedup import dedup_exact, minhash_lsh_pairs, simhash_pairs
+from webgraph_spark.functions.similarity import cosine_topk
+from webgraph_spark.plans.csr import build_csr, verify_accounting
+from webgraph_spark.session import get_spark
+
+PART_BASE = 1_000
+CUST_BASE = 21_000
+
+
+def build_edges(spark: SparkSession, sf_dir: str, multiplier: int = 1) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    sp = li.select(
+        F.col("l_suppkey").cast("long").alias("src"),
+        (F.col("l_partkey") + PART_BASE).cast("long").alias("dst"),
+    )
+    lio = li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+    pc = lio.select(
+        (F.col("l_partkey") + PART_BASE).cast("long").alias("src"),
+        (F.col("o_custkey") + CUST_BASE).cast("long").alias("dst"),
+    )
+    cs = lio.select(
+        (F.col("o_custkey") + CUST_BASE).cast("long").alias("src"),
+        F.col("l_suppkey").cast("long").alias("dst"),
+    )
+    edges = sp.unionByName(pc).unionByName(cs).distinct()
+    if multiplier > 1:
+        salts = spark.range(multiplier).select(F.col("id").alias("salt"))
+        edges = edges.crossJoin(salts).select(
+            (F.col("src") * multiplier + F.col("salt")).alias("src"),
+            (F.col("dst") * multiplier + F.col("salt")).alias("dst"),
+        )
+    return edges
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    ap.add_argument("--multiplier", type=int, default=1)
+    ap.add_argument("--pr-iters", type=int, default=5)
+    ap.add_argument("--graph-only", action="store_true",
+                    help="run only graph jobs (skip docs/embeddings)")
+    ap.add_argument("--pagerank-only", action="store_true",
+                    help="derive + CSR + PageRank only (scaling experiments)")
+    args = ap.parse_args()
+    sf_dir = args.sf_dir.rstrip("/")
+    sf = sf_dir.rsplit("sf", 1)[-1] if "sf" in sf_dir else sf_dir
+
+    spark = get_spark(
+        app_name="webgraph-spark-bench",
+        master=f"local[{args.cpus}]",
+        shuffle_partitions=int(args.cpus),
+        extra_conf={"spark.ui.enabled": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    extras: dict[str, object] = {}
+
+    def timed(name: str, fn):
+        t0 = time.monotonic()
+        out = fn()
+        timings[name] = round(time.monotonic() - t0, 3)
+        return out
+
+    # Warmup the JVM outside any timer (SpeedTest warmup analogue).
+    spark.range(1_000_000).agg(F.sum("id")).collect()
+
+    edges = build_edges(spark, sf_dir, args.multiplier)
+    m = timed("derive_edges", lambda: edges.count())
+    edges = edges.persist()
+    edges.count()
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .unionAll(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    extras["n_edges"], extras["n_nodes"] = m, n
+
+    csr = timed("csr_build", lambda: build_csr(edges, target_edges_per_block=250_000))
+    acct = verify_accounting(csr)
+    assert acct["ok"], acct
+    extras["csr_blocks"] = acct["blocks"]
+
+    pr = timed(
+        "pagerank_csr",
+        lambda: pagerank(spark, csr, nodes, tol=0.0, max_iter=args.pr_iters),
+    )
+    # steady-state iteration time: median of all but the first iteration
+    steady = statistics.median(pr.iter_seconds[1:]) if len(pr.iter_seconds) > 1 \
+        else pr.iter_seconds[0]
+    extras["pagerank_iter_sec_median"] = round(steady, 3)
+    extras["pagerank_edges_per_sec_per_iter"] = round(m / steady, 1)
+
+    if not args.graph_only and not args.pagerank_only:
+        timed(
+            "pagerank_edges",
+            lambda: pagerank_edges(edges, nodes, n_iter=args.pr_iters),
+        )
+    if not args.pagerank_only:
+        cc = timed("connected_components", lambda: hash_min_components(edges, nodes))
+        extras["cc_iterations"] = cc.iterations
+        timed("label_propagation", lambda: label_propagation(edges, nodes, max_iter=3))
+        timed(
+            "bfs",
+            lambda: bfs_distances(edges, edges.agg(F.min("src").alias("id"))).count(),
+        )
+    if not args.graph_only and not args.pagerank_only:
+        extras["triangles"] = timed(
+            "triangle_count", lambda: triangle_vertices(edges).count()
+        )
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").persist()
+        docs.count()
+        timed("dedup_exact", lambda: dedup_exact(docs, "doc_id", "text").count())
+        timed(
+            "dedup_minhash_lsh",
+            lambda: minhash_lsh_pairs(
+                docs, "doc_id", "text", n=3, num_hashes=64, bands=16, threshold=0.2
+            ).count(),
+        )
+        timed(
+            "dedup_simhash",
+            lambda: simhash_pairs(docs, "doc_id", "text", max_hamming=8).count(),
+        )
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").persist()
+        emb.count()
+        timed(
+            "cosine_topk",
+            lambda: cosine_topk(emb, emb.filter(F.col("vec_id") < 16), k=10).count(),
+        )
+
+    result = {
+        "metric": "total wall seconds of headline suite "
+        "(pagerank CSR/edges, CC, LPA, BFS, triangles, dedup, ANN); "
+        "see pagerank_edges_per_sec_per_iter for the primary throughput",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": int(args.cpus),
+        "multiplier": args.multiplier,
+        **extras,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,93 @@
+"""Node permutations / orderings (``Transform.java:2468-2665``).
+
+The reference computes permutations that improve compression locality:
+``randomPermutation``, ``lexicographicalPermutation`` (order nodes by their
+adjacency row), ``hostByHostGrayCodePermutation`` (group by host, order
+within host), fed to ``Transform.map``. Here a permutation is a map table
+``(id, new_id)`` applied with :func:`webgraph_spark.operators.transform.map_nodes`;
+ranks are minted with the two-pass dense-id pattern (no single-partition
+window, scales to any node count).
+
+The corpus analogue of URL ordering — ranking by ``(repo, path)`` — is
+:func:`permute_by_key`; it delivers the locality benefit the Gray-code
+orderings chase (successors of files in one repo mostly point into the same
+repo, so gap-encoded successor ids shrink).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from webgraph_spark.sources.ids import mint_dense_ids
+
+
+def _rank_to_map(keyed: DataFrame, id_col: str = "id") -> DataFrame:
+    """(id, __key...) -> (id, new_id) where new_id is the dense rank of the
+    key columns (ties impossible: id is always the final key component)."""
+    key_cols = [c for c in keyed.columns if c != id_col]
+    ranked = mint_dense_ids(keyed, key_cols, id_col="new_id")
+    return (
+        keyed.join(ranked, key_cols)
+        .select(F.col(id_col).alias("id"), "new_id")
+    )
+
+
+def random_permutation(nodes: DataFrame, seed: int = 42) -> DataFrame:
+    """Seeded pseudo-random permutation ``(id, new_id)``
+    (``Transform.randomPermutation``, ``Transform.java:2643-2665``)."""
+    keyed = nodes.select(
+        "id", F.xxhash64(F.lit(seed), F.col("id")).alias("__h"), F.col("id").alias("__t")
+    )
+    return _rank_to_map(keyed)
+
+
+def lexicographic_permutation(edges: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Order nodes by their successor list, lexicographically
+    (``Transform.lexicographicalPermutation``, ``Transform.java:2551-2584``).
+
+    The sort key is the sorted successor array (nodes with no successors
+    sort first, matching an all-zero adjacency row); ties broken by id.
+    """
+    succ = edges.groupBy(F.col("src").alias("id")).agg(
+        F.array_sort(F.collect_list("dst")).alias("__succs")
+    )
+    keyed = (
+        nodes.join(succ, "id", "left")
+        .select(
+            "id",
+            F.coalesce(
+                F.array_join(
+                    F.transform("__succs", lambda d: F.format_string("%019d", d)),
+                    ",",
+                ),
+                F.lit(""),
+            ).alias("__k"),
+            F.col("id").alias("__t"),
+        )
+    )
+    return _rank_to_map(keyed)
+
+
+def permute_by_key(node_attrs: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Rank nodes by attribute key (host-by-host analogue,
+    ``Transform.hostByHostGrayCodePermutation`` + ``BuildHostMap.java:57``;
+    for a code corpus the 'host' is the repo). ``node_attrs`` is
+    ``(id, *key_cols)``; ties broken by id."""
+    keyed = node_attrs.select("id", *key_cols, F.col("id").alias("__t"))
+    return _rank_to_map(keyed)
+
+
+def degree_permutation(edges: DataFrame, nodes: DataFrame, descending: bool = True) -> DataFrame:
+    """Order nodes by (out-degree, id) — the frequency ordering used in
+    compression studies (no direct reference method; composes with
+    ``Transform.map`` exactly like the Gray/lex orderings)."""
+    deg = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("__d")
+    )
+    filled = nodes.join(deg, "id", "left").na.fill({"__d": 0})
+    sort_key = (-F.col("__d")) if descending else F.col("__d")
+    keyed = filled.select(
+        "id", sort_key.alias("__k"), F.col("id").alias("__t")
+    )
+    return _rank_to_map(keyed)

@@ -51,8 +51,11 @@ def mint_dense_ids(
         offsets[pid] = acc
         acc += counts[pid]
 
-    out_schema = ", ".join(
-        [f"{id_col} long"] + [f"{c} string" for c in key_cols]
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [StructField(id_col, LongType(), False)]
+        + [keys.schema[c] for c in key_cols]
     )
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
