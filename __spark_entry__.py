@@ -52,7 +52,21 @@ from webgraph_spark.functions.text import (
     langid,
     with_text_stats,
 )
+from webgraph_spark.algo.hyperball import hyperball
 from webgraph_spark.operators import transform as T
+from webgraph_spark.operators.labels import compose_semiring, merge_duplicate_arcs
+from webgraph_spark.operators.permutations import (
+    degree_permutation,
+    lexicographic_permutation,
+    permute_by_key,
+)
+from webgraph_spark.sources.text_formats import (
+    read_arc_list,
+    read_ascii_graph,
+    read_scattered_arcs,
+    write_arc_list,
+    write_ascii_graph,
+)
 from webgraph_spark.plans.csr import build_csr, csr_to_edges
 from webgraph_spark.sources.corpus import (
     corpus_edges,
@@ -525,8 +539,111 @@ def _q_events_by_type(spark, sf_dir):
     )
 
 
+def _labelled(spark, sf_dir):
+    """Multi-arc labelled edges: label = quantity (duplicates expected)."""
+    return _lineitem(spark, sf_dir).select(
+        F.col("l_suppkey").cast("long").alias("src"),
+        (F.col("l_partkey") % 120).cast("long").alias("dst"),
+        F.col("l_quantity").cast("long").alias("label"),
+    )
+
+
+def _q_labelled_merge(spark, sf_dir):
+    return merge_duplicate_arcs(_labelled(spark, sf_dir), "min")
+
+
+def _q_labelled_compose(spark, sf_dir):
+    lab = merge_duplicate_arcs(_labelled(spark, sf_dir), "min")
+    return compose_semiring(lab, lab)  # (min, +) semiring
+
+
+def _q_check_symmetry(spark, sf_dir):
+    e = _edges(spark, sf_dir)
+    asym = e.join(T.transpose(e), ["src", "dst"], "left_anti")
+    return asym.agg(F.count(F.lit(1)).alias("asym_arcs"))
+
+
+def _q_node_class_filter(spark, sf_dir):
+    e = _edges(spark, sf_dir)
+    cls = _nodes(e).select("id", (F.col("id") % 7).alias("cls"))
+    return T.node_class_filter(e, cls, keep_only_same=True)
+
+
+def _q_degree_permutation(spark, sf_dir):
+    e = _edges(spark, sf_dir)
+    return degree_permutation(e, _nodes(e))
+
+
+def _q_key_permutation(spark, sf_dir):
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    attrs = sup.select(
+        F.col("s_suppkey").cast("long").alias("id"),
+        F.col("s_nationkey").cast("long").alias("nation"),
+    )
+    return permute_by_key(attrs, ["nation"])
+
+
+def _q_lex_permutation(spark, sf_dir):
+    e = _edges(spark, sf_dir)
+    return lexicographic_permutation(e, _nodes(e))
+
+
+def _q_host_map(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return docs.groupBy(F.col("source").alias("host")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+def _q_arclist_roundtrip(spark, sf_dir):
+    import tempfile
+
+    e = _edges(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="wg_arclist_") + "/arcs"
+    write_arc_list(e, out)
+    return read_arc_list(spark, out)
+
+
+def _q_ascii_roundtrip(spark, sf_dir):
+    import tempfile
+
+    e = _edges(spark, sf_dir)
+    n = 120  # dst range is [0, 120); suppkeys lie inside it
+    out = tempfile.mkdtemp(prefix="wg_ascii_") + "/g.graph-txt"
+    write_ascii_graph(e, out, num_nodes=n)
+    _, back = read_ascii_graph(spark, out)
+    return back
+
+
+def _q_scattered_roundtrip(spark, sf_dir):
+    """Shift node ids into a scattered key space, ingest, and get back the
+    dense-rank remap — oracle = dense_rank over the node ids."""
+    import tempfile
+
+    e = _edges(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="wg_scat_") + "/arcs"
+    write_arc_list(
+        e.select(
+            (F.col("src") + 1_000_000).alias("src"),
+            (F.col("dst") + 1_000_000).alias("dst"),
+        ),
+        out,
+    )
+    _, edges = read_scattered_arcs(spark, out)
+    return edges
+
+
 # -- rows-only (non-SQL-expressible: hash-seeded LSH / synthetic corpus /
 #    Arrow plumbing); the driver records a weaker rows-only check -----------
+
+
+def _q_hyperball_nf(spark, sf_dir):
+    e = _edges(spark, sf_dir).filter(F.col("dst") < 30)
+    nodes = _nodes(e)
+    res = hyperball(e, nodes, log2m=5, max_iter=16)
+    return spark.createDataFrame(
+        [(t, round(v, 3)) for t, v in enumerate(res.nf)], "t long, nf double"
+    )
 
 
 def _q_minhash_lsh(spark, sf_dir):
@@ -627,7 +744,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": _q_fingerprint,
         "cosine_pairs": _q_cosine_pairs,
         "events_by_type": _q_events_by_type,
+        "labelled_merge": _q_labelled_merge,
+        "labelled_compose": _q_labelled_compose,
+        "check_symmetry": _q_check_symmetry,
+        "node_class_filter": _q_node_class_filter,
+        "degree_permutation": _q_degree_permutation,
+        "key_permutation": _q_key_permutation,
+        "lex_permutation": _q_lex_permutation,
+        "host_map": _q_host_map,
+        "arclist_roundtrip": _q_arclist_roundtrip,
+        "ascii_roundtrip": _q_ascii_roundtrip,
+        "scattered_roundtrip": _q_scattered_roundtrip,
         # rows-only (no SQL oracle)
+        "hyperball_nf": _q_hyperball_nf,
         "minhash_lsh": _q_minhash_lsh,
         "simhash": _q_simhash,
         "cosine_topk": _q_cosine_topk,
@@ -801,4 +930,63 @@ SELECT id_a, id_b, ROUND(score, 6) AS score FROM p WHERE score >= 0.35
         "events_by_type": "SELECT event_type, count(*) AS n, "
         "count(DISTINCT user_id) AS users, "
         "ROUND(sum(value), 4) AS total_value FROM events GROUP BY event_type",
+        "labelled_merge": "SELECT l_suppkey AS src, l_partkey % 120 AS dst, "
+        "min(CAST(floor(l_quantity) AS BIGINT)) AS label "
+        "FROM lineitem GROUP BY 1, 2",
+        "labelled_compose": _with(
+            "lab AS (SELECT l_suppkey AS src, l_partkey % 120 AS dst, "
+            "min(CAST(floor(l_quantity) AS BIGINT)) AS label "
+            "FROM lineitem GROUP BY 1, 2)",
+            select="SELECT a.src, b.dst, min(a.label + b.label) AS label "
+            "FROM lab a JOIN lab b ON a.dst = b.src GROUP BY a.src, b.dst",
+        ),
+        "check_symmetry": _with(
+            EDGES_CTE,
+            select="SELECT count(*) AS asym_arcs FROM edges e "
+            "WHERE NOT EXISTS (SELECT 1 FROM edges r "
+            "WHERE r.src = e.dst AND r.dst = e.src)",
+        ),
+        "node_class_filter": _with(
+            EDGES_CTE,
+            select="SELECT src, dst FROM edges WHERE src % 7 = dst % 7",
+        ),
+        "degree_permutation": _with(
+            EDGES_CTE,
+            NODES_CTE,
+            "od AS (SELECT n.id, COALESCE(o.dg, 0) AS dg FROM nodes n "
+            "LEFT JOIN (SELECT src AS id, count(*) AS dg FROM edges "
+            "GROUP BY src) o ON o.id = n.id)",
+            select="SELECT id, CAST(row_number() OVER "
+            "(ORDER BY dg DESC, id ASC) - 1 AS BIGINT) AS new_id FROM od",
+        ),
+        "key_permutation": "SELECT CAST(s_suppkey AS BIGINT) AS id, "
+        "CAST(row_number() OVER (ORDER BY CAST(s_nationkey AS BIGINT) ASC, "
+        "s_suppkey ASC) - 1 AS BIGINT) AS new_id FROM supplier",
+        "lex_permutation": _with(
+            EDGES_CTE,
+            NODES_CTE,
+            "succ AS (SELECT src AS id, "
+            "string_agg(printf('%019d', dst), ',' ORDER BY dst) AS k "
+            "FROM edges GROUP BY src)",
+            "keyed AS (SELECT n.id, COALESCE(s.k, '') AS k "
+            "FROM nodes n LEFT JOIN succ s ON s.id = n.id)",
+            select="SELECT id, CAST(row_number() OVER "
+            "(ORDER BY k ASC, id ASC) - 1 AS BIGINT) AS new_id FROM keyed",
+        ),
+        "host_map": "SELECT source AS host, count(*) AS n_docs "
+        "FROM documents GROUP BY source",
+        "arclist_roundtrip": _with(
+            EDGES_CTE, select="SELECT src, dst FROM edges"
+        ),
+        "ascii_roundtrip": _with(
+            EDGES_CTE, select="SELECT src, dst FROM edges"
+        ),
+        "scattered_roundtrip": _with(
+            EDGES_CTE,
+            NODES_CTE,
+            "m AS (SELECT id, CAST(row_number() OVER (ORDER BY id) - 1 "
+            "AS BIGINT) AS nid FROM nodes)",
+            select="SELECT ms.nid AS src, md.nid AS dst FROM edges e "
+            "JOIN m ms ON ms.id = e.src JOIN m md ON md.id = e.dst",
+        ),
     }

@@ -59,22 +59,28 @@ def hash_min_components(
     result = ComponentsResult(components=comps, iterations=start_iteration)
     for it in range(start_iteration, max_iter):
         t0 = time.monotonic()
-        msgs = (
+        # min over in-neighbours (one m-row shuffle), then a left join back
+        # onto the old state: least() does the hash-min update and the
+        # changed flag rides along, so the convergence count is a cheap scan
+        # of the checkpointed rows, not a separate new⋈old join job.
+        nbr_min = (
             sym.join(comps, sym["src"] == comps["id"])
-            .select(F.col("dst").alias("id"), F.col("comp"))
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("comp").alias("__nm"))
         )
-        new_comps = (
-            msgs.unionByName(comps.select("id", "comp"))
-            .groupBy("id")
-            .agg(F.min("comp").alias("comp"))
+        updated = (
+            comps.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least("comp", "__nm").alias("comp"),
+                (F.col("__nm") < F.col("comp")).cast("int").alias("__ch"),
+            )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_comps.alias("n")
-            .join(comps.alias("o"), "id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
+        changed = int(
+            updated.agg(F.sum("__ch").alias("c")).collect()[0]["c"] or 0
         )
+        new_comps = updated.select("id", "comp")
         wall = time.monotonic() - t0
         result.changed_per_iter.append(changed)
         result.iter_seconds.append(wall)

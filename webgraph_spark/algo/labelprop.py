@@ -67,19 +67,24 @@ def label_propagation(
             .filter(F.col("rn") == 1)
             .select(F.col("dst").alias("id"), F.col("label").alias("new_label"))
         )
-        new_labels = (
+        # changed flag computed in the same join/select that applies the
+        # update — the count is then a cheap scan of the checkpointed rows,
+        # not a separate new⋈old join job.
+        updated = (
             labels.join(winner, "id", "left")
             .select(
-                "id", F.coalesce("new_label", "label").alias("label")
+                "id",
+                F.coalesce("new_label", "label").alias("label"),
+                (F.coalesce("new_label", "label") != F.col("label"))
+                .cast("int")
+                .alias("__ch"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
+        changed = int(
+            updated.agg(F.sum("__ch").alias("c")).collect()[0]["c"] or 0
         )
+        new_labels = updated.select("id", "label")
         wall = time.monotonic() - t0
         result.changed_per_iter.append(changed)
         result.iter_seconds.append(wall)

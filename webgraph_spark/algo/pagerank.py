@@ -109,7 +109,18 @@ def pagerank(
     ``initial_ranks``/``start_iteration``.
     """
     n = nodes.count()
-    blocks = csr.blocks.persist()
+    # Persist the CSR table ALREADY hash-partitioned and sorted on block_id:
+    # the cogroup's required distribution is then satisfied by the cached
+    # partitioning, so the graph (the big side) is shuffled ZERO times per
+    # iteration — only the small rank table moves. Without this, every
+    # iteration re-exchanges the whole compressed graph (verified via
+    # .explain: Exchange+Sort above the InMemoryTableScan disappear).
+    shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    blocks = (
+        csr.blocks.repartition(shuffle_parts, "block_id")
+        .sortWithinPartitions("block_id")
+        .persist()
+    )
     blocks.count()  # materialize once; reused every iteration
     nodes = nodes.select("id").persist()
 
@@ -136,26 +147,32 @@ def pagerank(
         non_dangling = float(nd_rows[0]["contrib"]) if nd_rows else 0.0
         dangling = 1.0 - non_dangling
         base = (1.0 - alpha) / n + alpha * dangling / n
-        new_ranks = (
-            nodes.join(
+        # Join against the OLD rank table (not bare nodes) so |new - old|
+        # rides along and the L1-delta aggregate runs on the checkpointed
+        # rows — no separate new⋈old join job per iteration.
+        updated = (
+            ranks.join(
                 sums.filter(F.col("dst") >= 0).withColumnRenamed("dst", "id"),
                 "id",
                 "left",
             )
             .select(
                 "id",
-                (F.lit(base) + F.lit(alpha) * F.coalesce(F.col("contrib"), F.lit(0.0))).alias(
-                    "rank"
-                ),
+                (
+                    F.lit(base)
+                    + F.lit(alpha) * F.coalesce(F.col("contrib"), F.lit(0.0))
+                ).alias("new_rank"),
+                F.col("rank").alias("old_rank"),
+            )
+            .select(
+                "id",
+                F.col("new_rank").alias("rank"),
+                F.abs(F.col("new_rank") - F.col("old_rank")).alias("__delta"),
             )
             .localCheckpoint(eager=True)
         )
-        delta = (
-            new_ranks.alias("n")
-            .join(ranks.alias("o"), "id")
-            .agg(F.sum(F.abs(F.col("n.rank") - F.col("o.rank"))).alias("d"))
-            .collect()[0]["d"]
-        )
+        delta = updated.agg(F.sum("__delta").alias("d")).collect()[0]["d"]
+        new_ranks = updated.select("id", "rank")
         sums.unpersist()
         wall = time.monotonic() - t0
         result.deltas.append(float(delta))
