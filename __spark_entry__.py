@@ -53,6 +53,8 @@ from webgraph_spark.functions.text import (
     with_text_stats,
 )
 from webgraph_spark.algo.hyperball import hyperball
+from webgraph_spark.algo.scc import strongly_connected_components
+from webgraph_spark.operators.tools import extract_component, gap_stats
 from webgraph_spark.operators import transform as T
 from webgraph_spark.operators.labels import compose_semiring, merge_duplicate_arcs
 from webgraph_spark.operators.permutations import (
@@ -637,6 +639,43 @@ def _q_scattered_roundtrip(spark, sf_dir):
 #    Arrow plumbing); the driver records a weaker rows-only check -----------
 
 
+def _q_scc(spark, sf_dir):
+    e = _edges(spark, sf_dir)
+    return strongly_connected_components(e, _nodes(e)).components.select(
+        "id", "comp"
+    )
+
+
+def _q_extract_largest_cc(spark, sf_dir):
+    e = _edges(spark, sf_dir)
+    comps = hash_min_components(e, _nodes(e)).components
+    return extract_component(e, comps)
+
+
+def _q_gap_stats(spark, sf_dir):
+    s = gap_stats(_edges(spark, sf_dir))
+    return spark.createDataFrame(
+        [(
+            round(s["avg_locality"], 6),
+            round(s["avg_gap"], 6),
+            round(s["avg_first_gap"], 6),
+        )],
+        "avg_locality double, avg_gap double, avg_first_gap double",
+    )
+
+
+def _q_csr_compression(spark, sf_dir):
+    from webgraph_spark.plans.csr import compression_stats
+
+    s = compression_stats(build_csr(_edges(spark, sf_dir), num_blocks=8))
+    return spark.createDataFrame(
+        [(s["succ_bytes"], s["edges"], s["rows"], s["blocks"],
+          s["bits_per_link"])],
+        "succ_bytes long, edges long, rows long, blocks long, "
+        "bits_per_link double",
+    )
+
+
 def _q_hyperball_nf(spark, sf_dir):
     e = _edges(spark, sf_dir).filter(F.col("dst") < 30)
     nodes = _nodes(e)
@@ -755,8 +794,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arclist_roundtrip": _q_arclist_roundtrip,
         "ascii_roundtrip": _q_ascii_roundtrip,
         "scattered_roundtrip": _q_scattered_roundtrip,
+        "scc_components": _q_scc,
+        "extract_largest_cc": _q_extract_largest_cc,
+        "gap_stats": _q_gap_stats,
         # rows-only (no SQL oracle)
         "hyperball_nf": _q_hyperball_nf,
+        "csr_compression": _q_csr_compression,
         "minhash_lsh": _q_minhash_lsh,
         "simhash": _q_simhash,
         "cosine_topk": _q_cosine_topk,
@@ -988,5 +1031,36 @@ SELECT id_a, id_b, ROUND(score, 6) AS score FROM p WHERE score >= 0.35
             "AS BIGINT) AS nid FROM nodes)",
             select="SELECT ms.nid AS src, md.nid AS dst FROM edges e "
             "JOIN m ms ON ms.id = e.src JOIN m md ON md.id = e.dst",
+        ),
+        "scc_components": _with(
+            EDGES_CTE,
+            NODES_CTE,
+            "fr AS (SELECT id AS s, id AS d FROM nodes "
+            "UNION SELECT r.s, e.dst FROM fr r JOIN edges e ON e.src = r.d)",
+            select="SELECT a.s AS id, min(a.d) AS comp FROM fr a "
+            "JOIN fr b ON b.s = a.d AND b.d = a.s GROUP BY a.s",
+            recursive=True,
+        ),
+        "extract_largest_cc": _with(
+            *_CC_CTES,
+            "sizes AS (SELECT comp, count(*) AS sz FROM comps GROUP BY comp)",
+            "top AS (SELECT comp FROM sizes ORDER BY sz DESC, comp ASC LIMIT 1)",
+            "keep AS (SELECT id FROM comps WHERE comp = (SELECT comp FROM top))",
+            select="SELECT src, dst FROM edges "
+            "WHERE src IN (SELECT id FROM keep) "
+            "AND dst IN (SELECT id FROM keep)",
+            recursive=True,
+        ),
+        "gap_stats": _with(
+            EDGES_CTE,
+            "loc AS (SELECT avg(abs(dst - src)) AS avg_locality FROM edges)",
+            "per AS (SELECT src, min(dst) AS mn, max(dst) AS mx, "
+            "count(*) AS c FROM edges GROUP BY src)",
+            "g AS (SELECT avg(abs(mn - src)) AS avg_first_gap, "
+            "avg(CASE WHEN c > 1 THEN (mx - mn) / CAST(c - 1 AS DOUBLE) END) "
+            "AS avg_gap FROM per)",
+            select="SELECT ROUND((SELECT avg_locality FROM loc), 6) "
+            "AS avg_locality, ROUND(avg_gap, 6) AS avg_gap, "
+            "ROUND(avg_first_gap, 6) AS avg_first_gap FROM g",
         ),
     }

@@ -113,3 +113,60 @@ def er_arcs(n, p, seed):
     np.fill_diagonal(m, False)
     src, dst = np.nonzero(m)
     return list(zip(src.tolist(), dst.tolist()))
+
+
+def scc_tarjan(arcs, nodes):
+    """Iterative Tarjan; returns {node: min member id of its SCC}
+    (the reference's sequential algorithm, StronglyConnectedComponents.java)."""
+    adj: dict[int, list[int]] = {v: [] for v in nodes}
+    for a, b in arcs:
+        adj[a].append(b)
+    index = {}
+    low = {}
+    on_stack = set()
+    stack: list[int] = []
+    counter = [0]
+    comps: list[list[int]] = []
+
+    for root in nodes:
+        if root in index:
+            continue
+        work = [(root, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                on_stack.add(v)
+            advanced = False
+            for i in range(pi, len(adj[v])):
+                w = adj[v][i]
+                if w not in index:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0))
+                    advanced = True
+                    break
+                if w in on_stack:
+                    low[v] = min(low[v], index[w])
+            if advanced:
+                continue
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                comps.append(comp)
+            work.pop()
+            if work:
+                u, _ = work[-1]
+                low[u] = min(low[u], low[v])
+    out = {}
+    for comp in comps:
+        m = min(comp)
+        for v in comp:
+            out[v] = m
+    return out

@@ -181,6 +181,30 @@ def csr_to_edges(blocks: DataFrame) -> DataFrame:
     return blocks.mapInArrow(decode, schema="src long, dst long")
 
 
+def compression_stats(csr: CsrGraph) -> dict:
+    """Compression accounting, the ``bitsperlink``/``bitspernode`` analogue
+    (``BVGraph.java:2560-2581``; cnr-2000 reference point: 3.56 bits/link
+    with full reference+interval coding, which we intentionally skip —
+    varint-gap inside zstd parquet is our operating point)."""
+    agg = csr.blocks.agg(
+        F.sum(F.length("succ")).alias("succ_bytes"),
+        F.sum("n_edges").alias("edges"),
+        F.sum("n_rows").alias("rows"),
+        F.count(F.lit(1)).alias("blocks"),
+    ).collect()[0]
+    edges = int(agg["edges"] or 0)
+    rows = int(agg["rows"] or 0)
+    succ_bytes = int(agg["succ_bytes"] or 0)
+    return {
+        "succ_bytes": succ_bytes,
+        "edges": edges,
+        "rows": rows,
+        "blocks": int(agg["blocks"] or 0),
+        "bits_per_link": round(succ_bytes * 8.0 / edges, 3) if edges else 0.0,
+        "bytes_per_node": round(succ_bytes / rows, 3) if rows else 0.0,
+    }
+
+
 def verify_accounting(csr: CsrGraph) -> dict:
     """The BVGraphTest-style invariants: edge totals and checksum agreement."""
     agg = csr.blocks.agg(
