@@ -41,7 +41,9 @@ def hash_min_components(
     the per-round action (no extra count job). Isolated nodes (present in
     ``nodes`` but no arcs) keep their own id as component.
     """
-    sym = symmetrize(edges).persist()
+    from webgraph_spark.plans.partitioning import partition_for_join
+
+    sym = partition_for_join(symmetrize(edges), "src").persist()
     sym.count()
     if nodes is None:
         nodes = (

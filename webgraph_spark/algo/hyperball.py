@@ -126,8 +126,12 @@ def hyperball(
     ``state.est`` is each node's reachable-set size estimate; ``harmonic``
     and ``sum_dist`` give harmonic/closeness/Lin centralities.
     """
+    from webgraph_spark.plans.partitioning import partition_for_join
+
     m = 1 << log2m
-    edges = edges.select("src", "dst").persist()
+    # gather joins on dst every iteration — cache the graph pre-partitioned
+    # on dst so only the state table shuffles (see partition_for_join)
+    edges = partition_for_join(edges.select("src", "dst"), "dst").persist()
     edges.count()
     spark = edges.sparkSession
 

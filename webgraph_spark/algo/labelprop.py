@@ -38,7 +38,9 @@ def label_propagation(
     (synchronous LPA can 2-cycle on bipartite structure — the cap is part of
     the deterministic contract, mirrored by the fixed-iteration SQL oracle).
     """
-    sym = symmetrize(edges).persist()
+    from webgraph_spark.plans.partitioning import partition_for_join
+
+    sym = partition_for_join(symmetrize(edges), "src").persist()
     sym.count()
     if nodes is None:
         nodes = (

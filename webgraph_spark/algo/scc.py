@@ -31,6 +31,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from webgraph_spark.plans.partitioning import partition_for_join
+
 
 @dataclass
 class SccResult:
@@ -70,7 +72,7 @@ def strongly_connected_components(
     max_color_iter: int = 128,
 ) -> SccResult:
     """(id, comp) with comp = min member id; exact, deterministic."""
-    edges = edges.select("src", "dst").persist()
+    edges = partition_for_join(edges.select("src", "dst"), "src").persist()
     edges.count()
     if nodes is None:
         nodes = (
@@ -93,11 +95,12 @@ def strongly_connected_components(
         # color-respecting reversed arcs
         cs = col.select(F.col("id").alias("src"), F.col("col").alias("__cs"))
         cd = col.select(F.col("id").alias("dst"), F.col("col").alias("__cd"))
-        same_col_rev = (
+        same_col_rev = partition_for_join(
             remaining_edges.join(cs, "src")
             .join(cd, "dst")
             .filter(F.col("__cs") == F.col("__cd"))
-            .select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            .select(F.col("dst").alias("src"), F.col("src").alias("dst")),
+            "src",
         ).persist()
         roots = col.filter(F.col("id") == F.col("col")).select("id", "col")
         visited = roots.localCheckpoint(eager=True)

@@ -64,6 +64,25 @@ def block_id_column(cuts: list[int], col: str = "src") -> Column:
     return assign(F.col(col))
 
 
+def partition_for_join(
+    df: DataFrame, key: str = "src", num_partitions: int | None = None
+) -> DataFrame:
+    """Hash-partition + sort on the join key BEFORE persisting, so an
+    iterative job's sort-merge joins find their required distribution and
+    ordering already satisfied by the cache — the big (graph) side is then
+    exchanged ZERO times per iteration; only the small state table moves.
+
+    The partition count must equal ``spark.sql.shuffle.partitions`` or
+    EnsureRequirements re-exchanges anyway; default reads it from the
+    session. (Same idea as the reference keeping the graph immutable and
+    thread-shared while per-iteration state mutates,
+    ``ImmutableGraph.java:157-165``.)
+    """
+    spark = df.sparkSession
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    return df.repartition(p, key).sortWithinPartitions(key)
+
+
 def salted_sum(
     df: DataFrame,
     key: str,
