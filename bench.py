@@ -142,6 +142,16 @@ def main() -> None:
             "pagerank_edges",
             lambda: pagerank_edges(edges, nodes, n_iter=args.pr_iters),
         )
+        # the metric's second half: total time-to-convergence (L1 < 1e-9)
+        # L1 contracts as alpha^k: 1e-9 needs ~140 iterations at alpha=0.85
+        conv = timed(
+            "pagerank_converge",
+            lambda: pagerank(spark, csr, nodes, tol=1e-9, max_iter=170),
+        )
+        extras["pagerank_converged"] = conv.converged
+        extras["pagerank_converge_iters"] = conv.iterations
+        extras["pagerank_converge_sec"] = timings["pagerank_converge"]
+        extras["pagerank_final_l1"] = conv.deltas[-1] if conv.deltas else None
     if not args.pagerank_only:
         cc = timed("connected_components", lambda: hash_min_components(edges, nodes))
         extras["cc_iterations"] = cc.iterations

@@ -1,0 +1,66 @@
+"""Graph table persistence (.properties analogue) + salted aggregation."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from webgraph_spark.plans.csr import build_csr
+from webgraph_spark.plans.partitioning import salted_sum
+from webgraph_spark.sources.generators import erdos_renyi
+from webgraph_spark.sources.tables import load_graph, save_csr, save_graph
+
+
+def test_graph_roundtrip_with_verification(spark, tmp_path):
+    edges = erdos_renyi(spark, 30, 0.1, seed=2)
+    path = str(tmp_path / "g")
+    meta = save_graph(edges, path, properties={"source": "test"})
+    assert meta["arcs"] == edges.count() and meta["source"] == "test"
+    back, meta2 = load_graph(spark, path)
+    assert meta2["arc_checksum"] == meta["arc_checksum"]
+    assert back.count() == meta["arcs"]
+    # set equality
+    assert back.exceptAll(edges.select("src", "dst")).isEmpty()
+
+
+def test_load_detects_corruption(spark, tmp_path):
+    edges = erdos_renyi(spark, 20, 0.1, seed=3)
+    path = str(tmp_path / "g2")
+    save_graph(edges, path)
+    # tamper with the metadata checksum
+    mp = os.path.join(path, "_meta.json")
+    meta = json.load(open(mp))
+    meta["arc_checksum"] += 1
+    json.dump(meta, open(mp, "w"))
+    with pytest.raises(ValueError, match="checksum"):
+        load_graph(spark, path)
+
+
+def test_save_csr_properties(spark, tmp_path):
+    edges = erdos_renyi(spark, 40, 0.15, seed=4)
+    csr = build_csr(edges, num_blocks=4)
+    meta = save_csr(csr.blocks, str(tmp_path / "csr"))
+    assert meta["arcs"] == edges.count()
+    assert meta["bits_per_link"] > 0
+    back = spark.read.parquet(str(tmp_path / "csr"))
+    assert back.agg(F.sum("n_edges")).collect()[0][0] == edges.count()
+
+
+def test_salted_sum_matches_plain(spark):
+    df = spark.range(10_000).select(
+        (F.col("id") % 5).alias("k"),  # 5 hot keys
+        (F.col("id") % 97).cast("double").alias("v"),
+    )
+    plain = {
+        r["k"]: r["s"]
+        for r in df.groupBy("k").agg(F.sum("v").alias("s")).collect()
+    }
+    salted = {
+        r["k"]: r["v"] for r in salted_sum(df, "k", "v", num_salts=8).collect()
+    }
+    assert set(plain) == set(salted)
+    for k in plain:
+        assert abs(plain[k] - salted[k]) < 1e-6

@@ -112,9 +112,10 @@ class LinkGraph:
         )
 
     def checksum(self) -> int:
-        """Order-insensitive arc-set checksum (test oracle helper)."""
+        """Order-insensitive arc-set checksum (test oracle helper).
+        bit_xor, not sum: a wrapping sum overflows int64 under ANSI mode."""
         row = self.edges.select(
-            F.sum(F.xxhash64(F.col("src"), F.col("dst"))).alias("h")
+            F.expr("bit_xor(xxhash64(src, dst))").alias("h")
         ).collect()[0]
         return int(row["h"] or 0)
 
