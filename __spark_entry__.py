@@ -35,6 +35,7 @@ from webgraph_spark.functions.dedup import (
     dedup_exact,
     exact_duplicate_groups,
     minhash_lsh_pairs,
+    near_dup_clusters,
     ngram_jaccard_pairs,
     simhash_pairs,
 )
@@ -541,6 +542,18 @@ def _q_events_by_type(spark, sf_dir):
     )
 
 
+def _q_events_windowed(spark, sf_dir):
+    """Tumbling 1-day windows per event type (batch form of the streaming
+    windowed aggregate; watermarking applies on the readStream variant)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+
+
 def _labelled(spark, sf_dir):
     """Multi-arc labelled edges: label = quantity (duplicates expected)."""
     return _lineitem(spark, sf_dir).select(
@@ -692,6 +705,10 @@ def _q_minhash_lsh(spark, sf_dir):
     ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def _q_near_dup_clusters(spark, sf_dir):
+    return near_dup_clusters(_docs(spark, sf_dir), threshold=0.2)
+
+
 def _q_simhash(spark, sf_dir):
     return simhash_pairs(_docs(spark, sf_dir), "doc_id", "text", max_hamming=8)
 
@@ -783,6 +800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": _q_fingerprint,
         "cosine_pairs": _q_cosine_pairs,
         "events_by_type": _q_events_by_type,
+        "events_windowed": _q_events_windowed,
         "labelled_merge": _q_labelled_merge,
         "labelled_compose": _q_labelled_compose,
         "check_symmetry": _q_check_symmetry,
@@ -801,6 +819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hyperball_nf": _q_hyperball_nf,
         "csr_compression": _q_csr_compression,
         "minhash_lsh": _q_minhash_lsh,
+        "near_dup_clusters": _q_near_dup_clusters,
         "simhash": _q_simhash,
         "cosine_topk": _q_cosine_topk,
         "cosine_topk_lsh": _q_cosine_topk_lsh,
@@ -973,6 +992,9 @@ SELECT id_a, id_b, ROUND(score, 6) AS score FROM p WHERE score >= 0.35
         "events_by_type": "SELECT event_type, count(*) AS n, "
         "count(DISTINCT user_id) AS users, "
         "ROUND(sum(value), 4) AS total_value FROM events GROUP BY event_type",
+        "events_windowed": "SELECT date_trunc('day', ts) AS day, event_type, "
+        "count(*) AS n, ROUND(sum(value), 4) AS total_value "
+        "FROM events GROUP BY 1, 2",
         "labelled_merge": "SELECT l_suppkey AS src, l_partkey % 120 AS dst, "
         "min(CAST(floor(l_quantity) AS BIGINT)) AS label "
         "FROM lineitem GROUP BY 1, 2",

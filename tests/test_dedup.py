@@ -100,3 +100,18 @@ def test_on_driver_documents(spark, sf_dir):
     groups = exact_duplicate_groups(docs)
     dup_total = groups.agg({"n_docs": "sum"}).collect()[0][0] or 0
     assert kept == n - (dup_total - groups.count() if dup_total else 0)
+
+
+def test_near_dup_clusters_transitive_closure(spark):
+    from webgraph_spark.functions.dedup import dedup_near, near_dup_clusters
+
+    docs = _docs(spark)
+    clusters = {
+        r["doc_id"]: r["cluster"]
+        for r in near_dup_clusters(docs, threshold=0.5, bands=32).collect()
+    }
+    # 1,2,3 exact/norm dups; 4 near-dup of them -> one cluster keeping 1
+    assert clusters[1] == clusters[2] == clusters[3] == clusters[4] == 1
+    assert clusters[5] != 1 and clusters[6] != 1
+    kept = sorted(r["doc_id"] for r in dedup_near(docs, threshold=0.5, bands=32).collect())
+    assert kept[0] == 1 and 2 not in kept and 3 not in kept and 4 not in kept

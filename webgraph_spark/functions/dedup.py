@@ -246,6 +246,54 @@ def minhash_lsh_pairs(
     return verified
 
 
+def near_dup_clusters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate CLUSTERS: MinHash-LSH pairs closed under transitivity.
+
+    Pairwise near-dup relations are not transitive; corpus dedup needs the
+    connected components of the near-dup graph so each cluster keeps exactly
+    one survivor. Returns ``(doc_id, cluster, keeper)`` for every document
+    (singletons are their own cluster); ``keeper`` = min doc id in cluster.
+    Composes the LSH pair finder with the hash-min CC fixpoint — the same
+    component kernel the link graph uses.
+    """
+    from webgraph_spark.algo.components import hash_min_components
+
+    pairs = minhash_lsh_pairs(
+        df, id_col, text_col, n, num_hashes, bands, threshold, seed
+    )
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    nodes = df.select(F.col(id_col).alias("id"))
+    comps = hash_min_components(edges, nodes).components
+    return comps.select(
+        F.col("id").alias(id_col),
+        F.col("comp").alias("cluster"),
+        F.col("comp").alias("keeper"),
+    )
+
+
+def dedup_near(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **kwargs,
+) -> DataFrame:
+    """Drop near-duplicates: keep one doc (min id) per near-dup cluster."""
+    clusters = near_dup_clusters(df, id_col, text_col, **kwargs)
+    keep = clusters.filter(F.col(id_col) == F.col("keeper")).select(id_col)
+    return df.join(keep, id_col, "leftsemi")
+
+
 def simhash_col(text_col: str = "text", seed: int = 42) -> Column:
     """64-bit SimHash of whitespace tokens, Arrow-vectorized.
 
