@@ -30,7 +30,11 @@ from webgraph_spark.algo.bfs import bfs_distances
 from webgraph_spark.algo.components import hash_min_components, renumber_by_size
 from webgraph_spark.algo.labelprop import label_propagation
 from webgraph_spark.algo.pagerank import pagerank, pagerank_edges
-from webgraph_spark.algo.triangles import triangle_vertices, triangles_per_vertex
+from webgraph_spark.algo.triangles import (
+    triangle_count_adjacency,
+    triangle_vertices,
+    triangles_per_vertex,
+)
 from webgraph_spark.functions.dedup import (
     dedup_exact,
     exact_duplicate_groups,
@@ -454,9 +458,8 @@ def _q_pagerank_csr(spark, sf_dir):
 
 
 def _q_triangle_count(spark, sf_dir):
-    return triangle_vertices(_edges(spark, sf_dir)).agg(
-        F.count(F.lit(1)).alias("triangles")
-    )
+    n = triangle_count_adjacency(_edges(spark, sf_dir))
+    return spark.createDataFrame([(n,)], "triangles long")
 
 
 def _q_triangles_per_vertex(spark, sf_dir):

@@ -38,7 +38,7 @@ from webgraph_spark.algo.bfs import bfs_distances
 from webgraph_spark.algo.components import hash_min_components
 from webgraph_spark.algo.labelprop import label_propagation
 from webgraph_spark.algo.pagerank import pagerank, pagerank_edges
-from webgraph_spark.algo.triangles import triangle_vertices
+from webgraph_spark.algo.triangles import triangle_count_adjacency
 from webgraph_spark.functions.dedup import dedup_exact, minhash_lsh_pairs, simhash_pairs
 from webgraph_spark.functions.similarity import cosine_topk
 from webgraph_spark.plans.csr import build_csr, verify_accounting
@@ -162,7 +162,7 @@ def main() -> None:
         )
     if not args.graph_only and not args.pagerank_only:
         extras["triangles"] = timed(
-            "triangle_count", lambda: triangle_vertices(edges).count()
+            "triangle_count", lambda: triangle_count_adjacency(edges)
         )
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet").persist()
         docs.count()

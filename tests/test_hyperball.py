@@ -57,3 +57,35 @@ def test_hyperball_centralities_cycle(spark):
     closeness = [r["closeness"] for r in cents]
     c_exact = 1.0 / sum(d for d in range(1, n))
     assert sum(closeness) / n == pytest.approx(c_exact, rel=0.35)
+
+
+def test_nf_statistics_exact_on_cycle(spark):
+    from webgraph_spark.algo.hyperball import combine_nfs, jackknife, nf_statistics
+
+    # exact NF of a directed 5-cycle: N(t) = 5*(t+1) for t=0..4
+    nf = [5.0, 10.0, 15.0, 20.0, 25.0]
+    s = nf_statistics(nf)
+    assert s["reachable_pairs"] == 25.0
+    assert s["average_distance"] == pytest.approx(2.0)  # mean of 0..4
+    assert s["median_distance"] == 2
+    # combine: mean of identical runs is the run itself; ragged tails pad
+    assert combine_nfs([nf, nf]) == nf
+    assert combine_nfs([[5.0, 10.0], [5.0, 10.0, 15.0]])[2] == pytest.approx(12.5)
+    jk = jackknife([nf, [x * 1.1 for x in nf], [x * 0.9 for x in nf]],
+                   lambda v: v[-1])
+    assert jk["raw"] == pytest.approx(25.0, rel=0.01)
+    assert jk["standard_error"] > 0
+
+
+def test_systolic_converges_same_as_before(spark):
+    # frontier shrinks but the fixpoint must be identical: star graph where
+    # leaves stabilize after 1 round
+    from webgraph_spark.sources.generators import star
+    edges = star(spark, 6)
+    res = hyperball(edges, _nodes(edges), log2m=7, max_iter=6)
+    assert res.converged
+    # center reaches 7 nodes' worth of ball; leaves only themselves
+    cents = {r["id"]: r["reachable"] for r in centralities(res).collect()}
+    assert cents[0] == pytest.approx(7, rel=0.3)
+    for leaf in range(1, 7):
+        assert cents[leaf] == pytest.approx(1, rel=0.3)

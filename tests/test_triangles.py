@@ -59,3 +59,13 @@ def test_er_vs_brute_and_duckdb(spark, seed):
         """
     ).fetchone()[0]
     assert cnt == sql_cnt
+
+
+def test_adjacency_variant_matches_wedge(spark):
+    from webgraph_spark.algo.triangles import triangle_count, triangle_count_adjacency
+    from tests.oracles import er_arcs
+
+    for seed in (1, 2):
+        arcs = er_arcs(25, 0.15, seed)
+        edges = spark.createDataFrame(arcs, "src long, dst long")
+        assert triangle_count_adjacency(edges) == triangle_count(edges)

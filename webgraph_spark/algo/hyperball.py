@@ -187,8 +187,15 @@ def hyperball(
         own = state.select(
             "id", "regs", "est", "harmonic", "sum_dist", F.lit(1).alias("is_own")
         )
+        # Systolic gather (HyperBall.java:120-135): a successor whose
+        # registers did NOT change last iteration contributes nothing new
+        # (its registers were already max-merged in), so only changed nodes
+        # send messages — the tail iterations touch a shrinking frontier.
         msgs = edges.join(
-            state.select(F.col("id").alias("dst"), "regs"), "dst"
+            state.filter(F.col("changed") == 1).select(
+                F.col("id").alias("dst"), "regs"
+            ),
+            "dst",
         ).select(
             F.col("src").alias("id"),
             "regs",
@@ -219,6 +226,60 @@ def hyperball(
             result.nf.pop()
             break
     return result
+
+
+def nf_statistics(nf: list[float]) -> dict:
+    """Derived statistics of a neighbourhood function
+    (``NeighbourhoodFunction.java:155-281``): CDF, PMF, median distance,
+    average distance, spid (variance/mean of the distance distribution),
+    and harmonic diameter. Driver-side numpy — the NF array is tiny."""
+    arr = np.asarray(nf, dtype=np.float64)
+    total = arr[-1]
+    cdf = arr / total
+    pmf = np.diff(arr, prepend=0.0) / total
+    dists = np.arange(len(arr))
+    mean = float((pmf * dists).sum())
+    var = float((pmf * dists**2).sum() - mean**2)
+    median = int(np.searchsorted(cdf, 0.5))
+    n = arr[0]
+    # harmonic diameter: n(n-1) / sum over pairs of 1/d
+    inv_sum = float((pmf[1:] * total / dists[1:]).sum()) if len(arr) > 1 else 0.0
+    harmonic_diameter = n * (n - 1) / inv_sum if inv_sum else float("inf")
+    return {
+        "cdf": cdf.tolist(),
+        "pmf": pmf.tolist(),
+        "median_distance": median,
+        "average_distance": mean,
+        "spid": var / mean if mean else 0.0,
+        "harmonic_diameter": harmonic_diameter,
+        "reachable_pairs": float(total),
+    }
+
+
+def combine_nfs(nfs: list[list[float]]) -> list[float]:
+    """Pointwise mean of sampled NFs, ragged tails extended with each run's
+    last value (``ApproximateNeighbourhoodFunctions.combine``,
+    ``ApproximateNeighbourhoodFunctions.java:34``)."""
+    t = max(len(nf) for nf in nfs)
+    padded = np.stack(
+        [np.pad(np.asarray(nf, float), (0, t - len(nf)), mode="edge") for nf in nfs]
+    )
+    return padded.mean(axis=0).tolist()
+
+
+def jackknife(nfs: list[list[float]], statistic) -> dict:
+    """Leave-one-out jackknife estimate ± standard error of a scalar
+    statistic of the combined NF (the reference's jackknife over sampled
+    ANFs, ``ApproximateNeighbourhoodFunctions.java:34``; ruby original
+    ``ruby/jackknife.rb``)."""
+    k = len(nfs)
+    full = statistic(combine_nfs(nfs))
+    loo = np.array(
+        [statistic(combine_nfs(nfs[:i] + nfs[i + 1:])) for i in range(k)]
+    )
+    bias = (k - 1) * (loo.mean() - full)
+    se = float(np.sqrt((k - 1) / k * ((loo - loo.mean()) ** 2).sum()))
+    return {"estimate": full - bias, "standard_error": se, "raw": full}
 
 
 def centralities(result: HyperBallResult) -> DataFrame:

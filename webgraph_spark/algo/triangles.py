@@ -53,6 +53,26 @@ def triangle_count(edges: DataFrame) -> int:
     return triangle_vertices(edges).count()
 
 
+def triangle_count_adjacency(edges: DataFrame) -> int:
+    """Edge-iterator variant: per oriented edge (u, v), |succ(u) ∩ succ(v)|
+    summed — the sorted-array-intersection formulation (SURVEY §2.6),
+    expressed with JVM-side ``array_intersect`` (no wedge materialization,
+    no Python). Wins when wedge count ≫ Σ(deg(u)+deg(v)) per edge, i.e.
+    hub-heavy graphs where the wedge join explodes."""
+    o = _oriented(edges)
+    adj = o.groupBy("src").agg(F.array_sort(F.collect_list("dst")).alias("succ"))
+    au = adj.select(F.col("src").alias("u"), F.col("succ").alias("su"))
+    av = adj.select(F.col("src").alias("v"), F.col("succ").alias("sv"))
+    per_edge = (
+        o.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .join(au, "u")
+        .join(av, "v")  # v with no oriented successors can close no triangle
+        .select(F.size(F.array_intersect("su", "sv")).alias("t"))
+    )
+    row = per_edge.agg(F.sum("t").alias("total")).collect()[0]
+    return int(row["total"] or 0)
+
+
 def triangles_per_vertex(edges: DataFrame) -> DataFrame:
     """``(id, triangles)`` — number of triangles each vertex participates in.
     Vertices in no triangle are omitted (join against nodes to zero-fill)."""
