@@ -57,6 +57,7 @@ from webgraph_spark.functions.text import (
     langid,
     with_text_stats,
 )
+from webgraph_spark.algo.geometric import geometric_centralities
 from webgraph_spark.algo.hyperball import hyperball
 from webgraph_spark.algo.scc import strongly_connected_components
 from webgraph_spark.operators.tools import extract_component, gap_stats
@@ -655,6 +656,20 @@ def _q_scattered_roundtrip(spark, sf_dir):
 #    Arrow plumbing); the driver records a weaker rows-only check -----------
 
 
+def _q_geometric(spark, sf_dir):
+    e = _edges(spark, sf_dir).filter(F.col("dst") < 30)
+    out = geometric_centralities(e, _nodes(e), alpha=0.5, max_depth=30)
+    return out.select(
+        "id",
+        "reachable",
+        "sum_dist",
+        F.round("closeness", 6).alias("closeness"),
+        F.round("harmonic", 6).alias("harmonic"),
+        F.round("lin", 6).alias("lin"),
+        F.round("exponential", 6).alias("exponential"),
+    )
+
+
 def _q_scc(spark, sf_dir):
     e = _edges(spark, sf_dir)
     return strongly_connected_components(e, _nodes(e)).components.select(
@@ -816,6 +831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ascii_roundtrip": _q_ascii_roundtrip,
         "scattered_roundtrip": _q_scattered_roundtrip,
         "scc_components": _q_scc,
+        "geometric_centralities": _q_geometric,
         "extract_largest_cc": _q_extract_largest_cc,
         "gap_stats": _q_gap_stats,
         # rows-only (no SQL oracle)
@@ -1064,6 +1080,31 @@ SELECT id_a, id_b, ROUND(score, 6) AS score FROM p WHERE score >= 0.35
             "UNION SELECT r.s, e.dst FROM fr r JOIN edges e ON e.src = r.d)",
             select="SELECT a.s AS id, min(a.d) AS comp FROM fr a "
             "JOIN fr b ON b.s = a.d AND b.d = a.s GROUP BY a.s",
+            recursive=True,
+        ),
+        "geometric_centralities": _with(
+            "edges AS (SELECT src, dst FROM (SELECT DISTINCT l_suppkey AS src, "
+            "l_partkey % 120 AS dst FROM lineitem) t WHERE dst < 30)",
+            NODES_CTE,
+            "walk AS (SELECT id AS s, id AS v, 0 AS dist FROM nodes "
+            "UNION SELECT w.s, e.dst AS v, w.dist + 1 FROM walk w "
+            "JOIN edges e ON e.src = w.v WHERE w.dist < 30)",
+            "pairs AS (SELECT s, v, min(dist) AS dist FROM walk GROUP BY s, v)",
+            "a AS (SELECT s AS id, count(*) AS r_out, "
+            "CAST(sum(dist) AS BIGINT) AS sum_dist, "
+            "sum(1.0 / dist) AS harmonic, "
+            "sum(power(0.5, dist)) AS exponential "
+            "FROM pairs WHERE dist > 0 GROUP BY s)",
+            select="SELECT n.id, COALESCE(a.r_out, 0) + 1 AS reachable, "
+            "COALESCE(a.sum_dist, 0) AS sum_dist, "
+            "ROUND(CASE WHEN COALESCE(a.sum_dist, 0) > 0 "
+            "THEN 1.0 / a.sum_dist ELSE 0.0 END, 6) AS closeness, "
+            "ROUND(COALESCE(a.harmonic, 0.0), 6) AS harmonic, "
+            "ROUND(CASE WHEN COALESCE(a.sum_dist, 0) > 0 "
+            "THEN (a.r_out + 1) * (a.r_out + 1) / CAST(a.sum_dist AS DOUBLE) "
+            "ELSE 1.0 END, 6) AS lin, "
+            "ROUND(COALESCE(a.exponential, 0.0), 6) AS exponential "
+            "FROM nodes n LEFT JOIN a ON a.id = n.id",
             recursive=True,
         ),
         "extract_largest_cc": _with(

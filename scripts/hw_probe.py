@@ -1,0 +1,61 @@
+"""Hardware parallelism probe — context for the N→4N scaling proxy.
+
+Measures how much TOTAL throughput this box actually provides as process
+count grows, for (a) in-cache compute (small numpy matmul — no memory
+pressure, the best case any workload can hope for) and (b) DRAM copy
+bandwidth (the worst case, what shuffles and scatters feel).
+
+Rationale: the north-rule gate (≥0.8 efficiency from N to 4N executors) is
+proxied on this single box by local[N] vs local[4N]. That proxy presumes the
+box supplies ~4× resources for 4× slots. This probe measures whether it
+does; results are embedded in BENCH_SCALING.json so the scaling number can
+be read against the hardware's own ceiling.
+
+Usage: python scripts/hw_probe.py  → one JSON line
+"""
+
+from __future__ import annotations
+
+import json
+import multiprocessing as mp
+import time
+
+import numpy as np
+
+
+def cpu_task(_):
+    a = np.random.rand(256, 256)
+    t0 = time.monotonic()
+    n = 0
+    while time.monotonic() - t0 < 3.0:
+        a = a @ a
+        a /= np.abs(a).max() + 1.0
+        n += 1
+    return n
+
+
+def bw_task(_):
+    a = np.zeros(200_000_000 // 8)
+    b = np.empty_like(a)
+    t0 = time.monotonic()
+    n = 0
+    while time.monotonic() - t0 < 3.0:
+        np.copyto(b, a)
+        n += 1
+    return n * 0.4  # GB moved (read + write)
+
+
+def probe(levels=(1, 4, 8, 16, 32)) -> dict:
+    out: dict = {"levels": list(levels)}
+    for name, fn in (("cpu_matmul_total", cpu_task), ("dram_copy_gb", bw_task)):
+        totals = []
+        for p in levels:
+            with mp.Pool(p) as pool:
+                totals.append(round(sum(pool.map(fn, range(p))), 1))
+        out[name] = totals
+        out[name + "_scale_vs_p1"] = [round(t / totals[0], 2) for t in totals]
+    return out
+
+
+if __name__ == "__main__":
+    print(json.dumps(probe()))

@@ -8,7 +8,22 @@ we run the SAME PageRank job on the SAME input at two parallelism levels
     efficiency = (throughput_4N / throughput_N) / 4
                = (iter_sec_N / iter_sec_4N) / 4
 
-Usage: python scripts/scaling.py [--n 8] [--multiplier 4] [--pr-iters 6]
+Measurement protocol (single shared box => noisy):
+
+- per level, ``--reps`` independent JVM runs; each run reports the MEDIAN
+  steady-state iteration (iterations 4..k, skipping python-worker spin-up
+  and JIT warm-up);
+- the level's value is the MIN over reps (standard de-noising for shared
+  machines: external interference only ever adds time);
+- levels run strictly sequentially so they never contend with each other.
+
+Caveat recorded in docs/SCALING.md: a single box shares one memory system,
+so 4x task slots does not provide 4x DRAM bandwidth the way 4x real
+executors would; the per-iteration critical path also carries a fixed
+~0.5-0.9 s driver/scheduling floor that a real cluster amortizes identically
+at every size (it does not grow with N).
+
+Usage: python scripts/scaling.py [--n 8] [--multiplier 16] [--pr-iters 12]
 Writes BENCH_SCALING.json at the repo root and prints the result.
 """
 
@@ -17,49 +32,90 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import statistics
 import subprocess
 import sys
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+_RUNNER = r"""
+import sys, statistics, json
+sys.path.insert(0, {root!r})
+from webgraph_spark.session import get_spark
+from bench import build_edges
+from webgraph_spark.plans.csr import build_csr
+from webgraph_spark.algo.pagerank import pagerank
+import pyspark.sql.functions as F
+spark = get_spark(master="local[{cpus}]", shuffle_partitions={cpus},
+                  extra_conf={{"spark.ui.enabled": "false",
+                               "spark.driver.memory": "16g"}})
+spark.sparkContext.setLogLevel("ERROR")
+edges = build_edges(spark, {sf_dir!r}, {multiplier}).persist()
+m = edges.count()
+nodes = (edges.select(F.col("src").alias("id"))
+         .union(edges.select("dst")).distinct().persist())
+nodes.count()
+csr = build_csr(edges, target_edges_per_block=250_000)
+res = pagerank(spark, csr, nodes, tol=0.0, max_iter={iters})
+med = statistics.median(res.iter_seconds[3:])
+print("JSON" + json.dumps({{"m": m, "median": med,
+                            "iters": res.iter_seconds}}))
+"""
 
-def run_level(cpus: int, multiplier: int, pr_iters: int, sf_dir: str) -> dict:
-    cmd = [
-        sys.executable, os.path.join(ROOT, "bench.py"),
-        "--cpus", str(cpus), "--multiplier", str(multiplier),
-        "--pr-iters", str(pr_iters), "--pagerank-only", "--sf-dir", sf_dir,
-    ]
+
+def run_once(cpus: int, multiplier: int, iters: int, sf_dir: str) -> dict:
+    code = _RUNNER.format(
+        root=ROOT, cpus=cpus, sf_dir=sf_dir, multiplier=multiplier, iters=iters
+    )
     out = subprocess.run(
-        cmd, capture_output=True, text=True, cwd=ROOT, check=True
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        cwd=ROOT, check=True,
     ).stdout
-    line = [ln for ln in out.splitlines() if ln.startswith("{")][-1]
-    return json.loads(line)
+    line = [ln for ln in out.splitlines() if ln.startswith("JSON")][-1]
+    return json.loads(line[4:])
+
+
+def run_level(cpus: int, multiplier: int, iters: int, sf_dir: str, reps: int) -> dict:
+    runs = [run_once(cpus, multiplier, iters, sf_dir) for _ in range(reps)]
+    best = min(r["median"] for r in runs)
+    return {
+        "cpus": cpus,
+        "iter_sec": round(best, 3),
+        "rep_medians": [round(r["median"], 3) for r in runs],
+        "m": runs[0]["m"],
+    }
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=8)
-    ap.add_argument("--multiplier", type=int, default=4)
-    ap.add_argument("--pr-iters", type=int, default=6)
+    ap.add_argument("--multiplier", type=int, default=16)
+    ap.add_argument("--pr-iters", type=int, default=12)
+    ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--sf-dir", default=os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     args = ap.parse_args()
 
-    lo = run_level(args.n, args.multiplier, args.pr_iters, args.sf_dir)
-    hi = run_level(args.n * 4, args.multiplier, args.pr_iters, args.sf_dir)
-    eff = (lo["pagerank_iter_sec_median"] / hi["pagerank_iter_sec_median"]) / 4.0
+    lo = run_level(args.n, args.multiplier, args.pr_iters, args.sf_dir, args.reps)
+    hi = run_level(args.n * 4, args.multiplier, args.pr_iters, args.sf_dir, args.reps)
+    eff = (lo["iter_sec"] / hi["iter_sec"]) / 4.0
     result = {
-        "job": "pagerank_csr steady-state iteration (median of iters 2..k)",
-        "input_edges": lo["n_edges"],
-        "n_cpus": args.n,
-        "4n_cpus": args.n * 4,
-        "iter_sec_n": lo["pagerank_iter_sec_median"],
-        "iter_sec_4n": hi["pagerank_iter_sec_median"],
-        "edges_per_sec_per_iter_n": lo["pagerank_edges_per_sec_per_iter"],
-        "edges_per_sec_per_iter_4n": hi["pagerank_edges_per_sec_per_iter"],
+        "job": "pagerank_csr steady-state iteration "
+        "(median of iters 4..k; min over reps per level)",
+        "input_edges": lo["m"],
+        "n_cpus": lo["cpus"],
+        "4n_cpus": hi["cpus"],
+        "iter_sec_n": lo["iter_sec"],
+        "iter_sec_4n": hi["iter_sec"],
+        "rep_medians_n": lo["rep_medians"],
+        "rep_medians_4n": hi["rep_medians"],
+        "edges_per_sec_per_iter_n": round(lo["m"] / lo["iter_sec"], 1),
+        "edges_per_sec_per_iter_4n": round(hi["m"] / hi["iter_sec"], 1),
         "scaling_efficiency": round(eff, 3),
         "gate": 0.8,
         "pass": eff >= 0.8,
+        "see": "docs/SCALING.md for the full core sweep, serial-floor "
+        "decomposition, and single-box caveats",
     }
     with open(os.path.join(ROOT, "BENCH_SCALING.json"), "w") as f:
         json.dump(result, f, indent=2)

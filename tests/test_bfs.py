@@ -44,3 +44,24 @@ def test_neighbourhood_function_cycle(spark):
     nodes = spark.range(n).selectExpr("id")
     nf = neighbourhood_function(edges, nodes, max_t=10)
     assert nf == [8, 16, 24, 32, 40, 48, 56, 64]
+
+
+def test_geometric_centralities_exact(spark):
+    from tests.oracles import bfs_dists
+    from webgraph_spark.algo.geometric import geometric_centralities
+
+    arcs = [(0, 1), (1, 2), (2, 0), (0, 3), (3, 4)]
+    edges = spark.createDataFrame(arcs, "src long, dst long")
+    nodes = spark.createDataFrame([(i,) for i in range(5)], "id long")
+    got = {r["id"]: r for r in geometric_centralities(edges, nodes).collect()}
+    for s in range(5):
+        d = bfs_dists(arcs, [s])
+        dists = [v for k, v in d.items() if v > 0]
+        assert got[s]["reachable"] == len(d)
+        assert got[s]["sum_dist"] == sum(dists)
+        if dists:
+            assert abs(got[s]["harmonic"] - sum(1 / x for x in dists)) < 1e-9
+            assert abs(got[s]["closeness"] - 1 / sum(dists)) < 1e-12
+            assert abs(got[s]["lin"] - len(d) ** 2 / sum(dists)) < 1e-9
+        else:
+            assert got[s]["closeness"] == 0.0 and got[s]["lin"] == 1.0

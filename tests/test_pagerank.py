@@ -98,3 +98,24 @@ def test_fixed_iteration_matches_numpy(spark):
     vec = _rank_vec(res.ranks, 60)
     expect = pagerank_numpy(arcs, 60, n_iter=5)
     assert np.allclose(vec, expect, atol=1e-12)
+
+
+def test_personalized_pagerank_matches_numpy(spark):
+    import numpy as np
+
+    from webgraph_spark.algo.pagerank import personalized_pagerank, ppr_numpy
+    from webgraph_spark.plans.csr import build_csr
+    from tests.oracles import er_arcs
+
+    arcs = er_arcs(30, 0.1, seed=9)
+    edges = spark.createDataFrame(arcs, "src long, dst long")
+    nodes = spark.createDataFrame([(i,) for i in range(30)], "id long")
+    srcs = spark.createDataFrame([(0,), (5,)], "id long")
+    csr = build_csr(edges, num_blocks=3)
+    res = personalized_pagerank(spark, csr, nodes, srcs, tol=1e-10, max_iter=300)
+    assert res.converged
+    got = {r["id"]: r["rank"] for r in res.ranks.collect()}
+    vec = np.array([got[i] for i in range(30)])
+    oracle = ppr_numpy(arcs, 30, [0, 5], tol=1e-12, max_iter=500)
+    assert np.allclose(vec, oracle, atol=1e-6)
+    assert abs(vec.sum() - 1.0) < 1e-6

@@ -1,0 +1,89 @@
+"""Exact geometric centralities via all-sources BFS.
+
+Reference: ``algo/GeometricCentralities.java:70-211`` — one BFS per node
+(thread pool), accumulating closeness (1/Σd), harmonic (Σ 1/d), Lin
+(r²/Σd with r = reachable count incl. the node), exponential (Σ α^d), and
+reachable counts; update rule at ``:184-202``. The distributed form runs all
+sources as ONE level-synchronous job over a `(source, node, dist)` pair
+table — the frontier is a DataFrame keyed by source, so every BFS advances
+in the same Spark job instead of one thread per source.
+
+State is O(reachable pairs): exact path, meant for moderate graphs or a
+sampled source set (pass ``sources``); the approximate scale path is
+:mod:`webgraph_spark.algo.hyperball`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def all_pairs_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_depth: int = 64,
+) -> DataFrame:
+    """``(s, v, dist)`` for every source s and node v reachable from it."""
+    visited = sources.select(
+        F.col("id").alias("s"), F.col("id").alias("v")
+    ).withColumn("dist", F.lit(0)).localCheckpoint(eager=True)
+    frontier = visited
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(edges, frontier["v"] == edges["src"])
+            .select("s", F.col("dst").alias("v"))
+            .distinct()
+            .join(visited.select("s", "v"), ["s", "v"], "left_anti")
+            .withColumn("dist", F.lit(depth))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited
+
+
+def geometric_centralities(
+    edges: DataFrame,
+    nodes: DataFrame,
+    alpha: float = 0.5,
+    max_depth: int = 64,
+) -> DataFrame:
+    """Exact ``(id, reachable, sum_dist, closeness, harmonic, lin, exponential)``
+    (``GeometricCentralities.java:184-211`` accumulators; conventions: nodes
+    reaching nothing have closeness 0 and Lin 1)."""
+    pairs = all_pairs_distances(edges, nodes.select("id"), max_depth)
+    agg = (
+        pairs.filter(F.col("dist") > 0)
+        .groupBy(F.col("s").alias("id"))
+        .agg(
+            F.count(F.lit(1)).alias("__r_out"),
+            F.sum("dist").alias("sum_dist"),
+            F.sum(1.0 / F.col("dist")).alias("harmonic"),
+            F.sum(F.pow(F.lit(alpha), F.col("dist"))).alias("exponential"),
+        )
+    )
+    return (
+        nodes.select("id")
+        .join(agg, "id", "left")
+        .na.fill({"__r_out": 0, "sum_dist": 0, "harmonic": 0.0, "exponential": 0.0})
+        .select(
+            "id",
+            (F.col("__r_out") + 1).alias("reachable"),
+            "sum_dist",
+            F.when(F.col("sum_dist") > 0, 1.0 / F.col("sum_dist"))
+            .otherwise(0.0)
+            .alias("closeness"),
+            "harmonic",
+            F.when(
+                F.col("sum_dist") > 0,
+                (F.col("__r_out") + 1) * (F.col("__r_out") + 1)
+                / F.col("sum_dist").cast("double"),
+            )
+            .otherwise(1.0)
+            .alias("lin"),
+            "exponential",
+        )
+    )

@@ -51,7 +51,9 @@ def get_spark(
         shuffle_partitions = int(cpus) if cpus.isdigit() else 32
     conf = dict(ENGINE_CONF)
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
-    conf.setdefault("spark.driver.memory", "8g")
+    # local mode: the driver JVM IS the executor; size the heap for
+    # 32 task threads × Arrow batches (the box has 128 GiB)
+    conf.setdefault("spark.driver.memory", "16g")
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():
