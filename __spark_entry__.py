@@ -60,6 +60,7 @@ from webgraph_spark.functions.text import (
 from webgraph_spark.algo.geometric import geometric_centralities
 from webgraph_spark.algo.hyperball import hyperball
 from webgraph_spark.algo.scc import strongly_connected_components
+from webgraph_spark.algo.simrank import simrank
 from webgraph_spark.operators.tools import extract_component, gap_stats
 from webgraph_spark.operators import transform as T
 from webgraph_spark.operators.labels import compose_semiring, merge_duplicate_arcs
@@ -212,6 +213,34 @@ def _lpa_sql(iters: int) -> str:
             f"FROM {p} p LEFT JOIN w{k} w ON w.id = p.id)"
         )
     return _with(*ctes, select=f"SELECT id, label FROM l{iters}")
+
+
+def _simrank_sql(iters: int, c: float = 0.8) -> str:
+    """Unrolled Jeh–Widom iteration on the src<20, dst<20 subgraph."""
+    ctes = [
+        "edges AS (SELECT src, dst FROM (SELECT DISTINCT l_suppkey AS src, "
+        "l_partkey % 120 AS dst FROM lineitem) t WHERE src < 20 AND dst < 20)",
+        NODES_CTE,
+        "ine AS (SELECT dst AS node, src AS nbr FROM edges)",
+        "indeg AS (SELECT node, count(*) AS d FROM ine GROUP BY node)",
+        "diag AS (SELECT id AS a, id AS b, 1.0 AS s FROM nodes)",
+        "s0 AS (SELECT a, b, s FROM diag)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"m{k} AS (SELECT ea.node AS a, eb.node AS b, sum(p.s) AS ss "
+            f"FROM ine ea JOIN s{k - 1} p ON p.a = ea.nbr "
+            f"JOIN ine eb ON p.b = eb.nbr GROUP BY ea.node, eb.node)"
+        )
+        ctes.append(
+            f"s{k} AS (SELECT a, b, s FROM diag UNION ALL "
+            f"SELECT m.a, m.b, {c} * m.ss / (da.d * db.d) AS s "
+            f"FROM m{k} m JOIN indeg da ON da.node = m.a "
+            f"JOIN indeg db ON db.node = m.b WHERE m.a <> m.b)"
+        )
+    return _with(
+        *ctes, select=f"SELECT a, b, ROUND(s, 9) AS s FROM s{iters}"
+    )
 
 
 _CC_CTES = (
@@ -656,6 +685,12 @@ def _q_scattered_roundtrip(spark, sf_dir):
 #    Arrow plumbing); the driver records a weaker rows-only check -----------
 
 
+def _q_simrank(spark, sf_dir):
+    e = _edges(spark, sf_dir).filter((F.col("src") < 20) & (F.col("dst") < 20))
+    res = simrank(e, c=0.8, max_iter=3, tol=0.0)
+    return res.scores.select("a", "b", F.round("s", 9).alias("s"))
+
+
 def _q_geometric(spark, sf_dir):
     e = _edges(spark, sf_dir).filter(F.col("dst") < 30)
     out = geometric_centralities(e, _nodes(e), alpha=0.5, max_depth=30)
@@ -831,6 +866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ascii_roundtrip": _q_ascii_roundtrip,
         "scattered_roundtrip": _q_scattered_roundtrip,
         "scc_components": _q_scc,
+        "simrank": _q_simrank,
         "geometric_centralities": _q_geometric,
         "extract_largest_cc": _q_extract_largest_cc,
         "gap_stats": _q_gap_stats,
@@ -1082,6 +1118,7 @@ SELECT id_a, id_b, ROUND(score, 6) AS score FROM p WHERE score >= 0.35
             "JOIN fr b ON b.s = a.d AND b.d = a.s GROUP BY a.s",
             recursive=True,
         ),
+        "simrank": _simrank_sql(3),
         "geometric_centralities": _with(
             "edges AS (SELECT src, dst FROM (SELECT DISTINCT l_suppkey AS src, "
             "l_partkey % 120 AS dst FROM lineitem) t WHERE dst < 30)",
