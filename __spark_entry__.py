@@ -29,7 +29,11 @@ from pyspark.sql import functions as F
 from webgraph_spark.algo.bfs import bfs_distances
 from webgraph_spark.algo.components import hash_min_components, renumber_by_size
 from webgraph_spark.algo.labelprop import label_propagation
-from webgraph_spark.algo.pagerank import pagerank, pagerank_edges
+from webgraph_spark.algo.pagerank import (
+    pagerank,
+    pagerank_edges,
+    pagerank_weighted,
+)
 from webgraph_spark.algo.triangles import (
     triangle_count_adjacency,
     triangle_vertices,
@@ -213,6 +217,40 @@ def _lpa_sql(iters: int) -> str:
             f"FROM {p} p LEFT JOIN w{k} w ON w.id = p.id)"
         )
     return _with(*ctes, select=f"SELECT id, label FROM l{iters}")
+
+
+def _pagerank_weighted_sql(iters: int) -> str:
+    """Unrolled weighted power iteration over the min-merged labelled graph."""
+    ctes = [
+        "lab AS (SELECT l_suppkey AS src, l_partkey % 120 AS dst, "
+        "CAST(min(CAST(floor(l_quantity) AS BIGINT)) AS DOUBLE) AS w "
+        "FROM lineitem GROUP BY 1, 2)",
+        "nodes AS (SELECT DISTINCT id FROM (SELECT src AS id FROM lab "
+        "UNION ALL SELECT dst AS id FROM lab) t)",
+        "wtot AS (SELECT src AS id, sum(w) AS wt FROM lab GROUP BY src)",
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
+        "r0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)",
+    ]
+    for k in range(iters):
+        ctes.append(
+            f"d{k} AS (SELECT 1.0 - COALESCE(sum(p.rank), 0.0) AS dm "
+            f"FROM r{k} p JOIN wtot ON wtot.id = p.id)"
+        )
+        ctes.append(
+            f"c{k} AS (SELECT e.dst AS id, "
+            f"sum(p.rank * e.w / t.wt) AS contrib "
+            f"FROM lab e JOIN r{k} p ON p.id = e.src "
+            f"JOIN wtot t ON t.id = e.src GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"r{k + 1} AS (SELECT n.id, (1.0 - {ALPHA}) / (SELECT n FROM nn) "
+            f"+ {ALPHA} * (COALESCE(c.contrib, 0.0) "
+            f"+ (SELECT dm FROM d{k}) / (SELECT n FROM nn)) AS rank "
+            f"FROM nodes n LEFT JOIN c{k} c ON c.id = n.id)"
+        )
+    return _with(
+        *ctes, select=f"SELECT id, ROUND(rank, 9) AS rank FROM r{iters}"
+    )
 
 
 def _simrank_sql(iters: int, c: float = 0.8) -> str:
@@ -685,6 +723,13 @@ def _q_scattered_roundtrip(spark, sf_dir):
 #    Arrow plumbing); the driver records a weaker rows-only check -----------
 
 
+def _q_pagerank_weighted(spark, sf_dir):
+    lab = merge_duplicate_arcs(_labelled(spark, sf_dir), "min")
+    w = lab.select("src", "dst", F.col("label").cast("double").alias("weight"))
+    res = pagerank_weighted(w, _nodes(w), n_iter=PR_ITERS)
+    return res.ranks.select("id", F.round("rank", 9).alias("rank"))
+
+
 def _q_simrank(spark, sf_dir):
     e = _edges(spark, sf_dir).filter((F.col("src") < 20) & (F.col("dst") < 20))
     res = simrank(e, c=0.8, max_iter=3, tol=0.0)
@@ -866,6 +911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ascii_roundtrip": _q_ascii_roundtrip,
         "scattered_roundtrip": _q_scattered_roundtrip,
         "scc_components": _q_scc,
+        "pagerank_weighted": _q_pagerank_weighted,
         "simrank": _q_simrank,
         "geometric_centralities": _q_geometric,
         "extract_largest_cc": _q_extract_largest_cc,
@@ -1118,6 +1164,7 @@ SELECT id_a, id_b, ROUND(score, 6) AS score FROM p WHERE score >= 0.35
             "JOIN fr b ON b.s = a.d AND b.d = a.s GROUP BY a.s",
             recursive=True,
         ),
+        "pagerank_weighted": _pagerank_weighted_sql(PR_ITERS),
         "simrank": _simrank_sql(3),
         "geometric_centralities": _with(
             "edges AS (SELECT src, dst FROM (SELECT DISTINCT l_suppkey AS src, "
