@@ -63,6 +63,7 @@ from webgraph_spark.functions.text import (
 )
 from webgraph_spark.algo.geometric import geometric_centralities
 from webgraph_spark.algo.hyperball import hyperball
+from webgraph_spark.algo.betweenness import betweenness
 from webgraph_spark.algo.scc import strongly_connected_components
 from webgraph_spark.algo.simrank import simrank
 from webgraph_spark.operators.tools import extract_component, gap_stats
@@ -787,6 +788,12 @@ def _q_csr_compression(spark, sf_dir):
     )
 
 
+def _q_betweenness(spark, sf_dir):
+    e = _edges(spark, sf_dir).filter((F.col("src") < 25) & (F.col("dst") < 25))
+    out = betweenness(e)
+    return out.select("id", F.round("betweenness", 6).alias("betweenness"))
+
+
 def _q_hyperball_nf(spark, sf_dir):
     e = _edges(spark, sf_dir).filter(F.col("dst") < 30)
     nodes = _nodes(e)
@@ -917,6 +924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_largest_cc": _q_extract_largest_cc,
         "gap_stats": _q_gap_stats,
         # rows-only (no SQL oracle)
+        "betweenness": _q_betweenness,
         "hyperball_nf": _q_hyperball_nf,
         "csr_compression": _q_csr_compression,
         "minhash_lsh": _q_minhash_lsh,

@@ -170,3 +170,38 @@ def scc_tarjan(arcs, nodes):
         for v in comp:
             out[v] = m
     return out
+
+
+def betweenness_brandes(arcs, nodes):
+    """Sequential Brandes (directed, endpoints excluded) — the reference's
+    algorithm (BetweennessCentrality.java:79)."""
+    from collections import deque
+
+    adj: dict[int, list[int]] = {v: [] for v in nodes}
+    for a, b in arcs:
+        adj[a].append(b)
+    bc = {v: 0.0 for v in nodes}
+    for s in nodes:
+        sigma = {v: 0.0 for v in nodes}
+        dist = {v: -1 for v in nodes}
+        preds: dict[int, list[int]] = {v: [] for v in nodes}
+        sigma[s], dist[s] = 1.0, 0
+        order = []
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            order.append(v)
+            for w in adj[v]:
+                if dist[w] < 0:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+                    preds[w].append(v)
+        delta = {v: 0.0 for v in nodes}
+        for w in reversed(order):
+            for v in preds[w]:
+                delta[v] += sigma[v] / sigma[w] * (1.0 + delta[w])
+            if w != s:
+                bc[w] += delta[w]
+    return bc
