@@ -163,11 +163,13 @@ def csr_to_edges(blocks: DataFrame) -> DataFrame:
 
     def decode(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
-            for row in batch.to_pylist():
+            srcs_col, degs_col = batch.column("srcs"), batch.column("degs")
+            succ_col = batch.column("succ")
+            for i in range(batch.num_rows):
                 srcs, indptr, succs = decode_block(
-                    np.array(row["srcs"], dtype=np.int64),
-                    np.array(row["degs"], dtype=np.int64),
-                    row["succ"],
+                    np.asarray(srcs_col[i].values, dtype=np.int64),
+                    np.asarray(degs_col[i].values, dtype=np.int64),
+                    succ_col[i].as_py(),
                 )
                 degs = np.diff(indptr)
                 yield pa.RecordBatch.from_arrays(
