@@ -172,3 +172,20 @@ def test_labelled_merge_union_semiring(spark):
     assert {
         (r["src"], r["dst"]) for r in L.label_isin_filter(le, [7]).collect()
     } == {(1, 2)}
+
+
+def test_linkgraph_facade(spark, tmp_path):
+    from webgraph_spark import LinkGraph
+
+    g = LinkGraph.from_arcs(spark, [(0, 1), (1, 2), (2, 0), (2, 3)])
+    assert g.triangle_count() == 1
+    pr = g.pagerank(tol=0.0, max_iter=3)
+    assert abs(sum(r["rank"] for r in pr.ranks.collect()) - 1.0) < 1e-9
+    cc = g.connected_components()
+    assert {r["comp"] for r in cc.components.collect()} == {0}
+    scc = g.strongly_connected_components()
+    comps = {r["id"]: r["comp"] for r in scc.components.collect()}
+    assert comps[0] == comps[1] == comps[2] == 0 and comps[3] == 3
+    meta = g.save(str(tmp_path / "g"))
+    back = LinkGraph.load(spark, str(tmp_path / "g"))
+    assert back.num_nodes() == meta["nodes"] and g.equals(back)

@@ -119,6 +119,68 @@ class LinkGraph:
         ).collect()[0]
         return int(row["h"] or 0)
 
+    # -- analytics facade ----------------------------------------------------
+    # One handle for the whole engine: each method delegates to the algo
+    # module (which documents semantics + reference citations).
+
+    def to_csr(self, **kwargs):
+        from webgraph_spark.plans.csr import build_csr
+
+        return build_csr(self.edges, **kwargs)
+
+    def pagerank(self, **kwargs):
+        from webgraph_spark.algo.pagerank import pagerank
+
+        csr = kwargs.pop("csr", None) or self.to_csr()
+        return pagerank(self.edges.sparkSession, csr, self.nodes(), **kwargs)
+
+    def connected_components(self, **kwargs):
+        from webgraph_spark.algo.components import hash_min_components
+
+        return hash_min_components(self.edges, self.nodes(), **kwargs)
+
+    def strongly_connected_components(self, **kwargs):
+        from webgraph_spark.algo.scc import strongly_connected_components
+
+        return strongly_connected_components(self.edges, self.nodes(), **kwargs)
+
+    def label_propagation(self, **kwargs):
+        from webgraph_spark.algo.labelprop import label_propagation
+
+        return label_propagation(self.edges, self.nodes(), **kwargs)
+
+    def triangle_count(self) -> int:
+        from webgraph_spark.algo.triangles import triangle_count_adjacency
+
+        return triangle_count_adjacency(self.edges)
+
+    def bfs(self, sources, **kwargs):
+        from webgraph_spark.algo.bfs import bfs_distances
+
+        return bfs_distances(self.edges, sources, **kwargs)
+
+    def hyperball(self, **kwargs):
+        from webgraph_spark.algo.hyperball import hyperball
+
+        return hyperball(self.edges, self.nodes(), **kwargs)
+
+    def betweenness(self, **kwargs):
+        from webgraph_spark.algo.betweenness import betweenness
+
+        return betweenness(self.edges, self.nodes(), **kwargs)
+
+    def save(self, path: str, properties: dict | None = None) -> dict:
+        from webgraph_spark.sources.tables import save_graph
+
+        return save_graph(self.edges, path, properties)
+
+    @classmethod
+    def load(cls, spark, path: str, verify: bool = True) -> "LinkGraph":
+        from webgraph_spark.sources.tables import load_graph
+
+        edges, meta = load_graph(spark, path, verify)
+        return cls(edges, num_nodes=meta.get("nodes"))
+
     # -- statistics (Stats.java:65, outputs :167-258) ------------------------
     def stats(self) -> dict:
         """One-pass global statistics, the ``Stats`` tool's scalar outputs."""
