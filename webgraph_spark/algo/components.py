@@ -56,22 +56,28 @@ def hash_min_components(
         initial.select("id", "comp")
         if initial is not None
         else nodes.withColumn("comp", F.col("id"))
-    ).localCheckpoint(eager=True)
+    ).withColumn("__ch", F.lit(1)).localCheckpoint(eager=True)
 
     result = ComponentsResult(components=comps, iterations=start_iteration)
     for it in range(start_iteration, max_iter):
         t0 = time.monotonic()
-        # min over in-neighbours (one m-row shuffle), then a left join back
-        # onto the old state: least() does the hash-min update and the
-        # changed flag rides along, so the convergence count is a cheap scan
-        # of the checkpointed rows, not a separate new⋈old join job.
+        # Systolic gather: component labels only ever DECREASE, so a
+        # neighbour whose label did not change last round contributes the
+        # same min it already contributed — only changed nodes need to send
+        # (HyperBall's systolic argument, ``HyperBall.java:120-135``). Then
+        # least() applies the hash-min update and the changed flag rides on
+        # the checkpointed rows, so the convergence count is a cheap scan,
+        # not a separate new⋈old join job.
         nbr_min = (
-            sym.join(comps, sym["src"] == comps["id"])
+            sym.join(
+                comps.filter(F.col("__ch") == 1), sym["src"] == comps["id"]
+            )
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("comp").alias("__nm"))
         )
         updated = (
-            comps.join(nbr_min, "id", "left")
+            comps.select("id", "comp")
+            .join(nbr_min, "id", "left")
             .select(
                 "id",
                 F.least("comp", "__nm").alias("comp"),
@@ -82,7 +88,7 @@ def hash_min_components(
         changed = int(
             updated.agg(F.sum("__ch").alias("c")).collect()[0]["c"] or 0
         )
-        new_comps = updated.select("id", "comp")
+        new_comps = updated
         wall = time.monotonic() - t0
         result.changed_per_iter.append(changed)
         result.iter_seconds.append(wall)
@@ -94,7 +100,7 @@ def hash_min_components(
         comps = new_comps
         if changed == 0:
             break
-    result.components = comps
+    result.components = comps.select("id", "comp")
     return result
 
 
