@@ -55,11 +55,26 @@ def label_propagation(
         else nodes.withColumn("label", F.col("id"))
     ).localCheckpoint(eager=True)
 
+    changed_set = labels.select("id")  # first round: everyone "changed"
     result = LabelPropResult(labels=labels, iterations=start_iteration)
     for it in range(start_iteration, max_iter):
         t0 = time.monotonic()
+        # Affected-set restriction: a node's mode can only change if at
+        # least one in-neighbour's label changed last round, so recompute
+        # the vote ONLY for dsts adjacent to the changed set (the mode still
+        # needs ALL their neighbours' labels — LPA is not monotone like
+        # hash-min, so the restriction is on which dsts recompute, not on
+        # which sources send).
+        affected = (
+            sym.join(
+                changed_set.withColumnRenamed("id", "src"), "src", "leftsemi"
+            )
+            .select("dst")
+            .distinct()
+        )
         counts = (
-            sym.join(labels, sym["src"] == labels["id"])
+            sym.join(affected, "dst", "leftsemi")
+            .join(labels, F.col("src") == labels["id"])
             .groupBy(F.col("dst"), F.col("label"))
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
@@ -87,6 +102,7 @@ def label_propagation(
             updated.agg(F.sum("__ch").alias("c")).collect()[0]["c"] or 0
         )
         new_labels = updated.select("id", "label")
+        changed_set = updated.filter(F.col("__ch") == 1).select("id")
         wall = time.monotonic() - t0
         result.changed_per_iter.append(changed)
         result.iter_seconds.append(wall)

@@ -42,15 +42,22 @@ class SccResult:
 
 
 def _forward_min_coloring(edges: DataFrame, nodes: DataFrame, max_iter: int) -> DataFrame:
-    col = nodes.withColumn("col", F.col("id")).localCheckpoint(eager=True)
+    # systolic: colors only decrease — changed nodes alone need to send
+    # (same argument as hash-min CC / HyperBall's systolic mode)
+    col = (
+        nodes.withColumn("col", F.col("id"))
+        .withColumn("__ch", F.lit(1))
+        .localCheckpoint(eager=True)
+    )
     for _ in range(max_iter):
         nbr = (
-            edges.join(col, edges["src"] == col["id"])
+            edges.join(col.filter(F.col("__ch") == 1), edges["src"] == col["id"])
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("col").alias("__nm"))
         )
         updated = (
-            col.join(nbr, "id", "left")
+            col.select("id", "col")
+            .join(nbr, "id", "left")
             .select(
                 "id",
                 F.least("col", "__nm").alias("col"),
@@ -59,10 +66,10 @@ def _forward_min_coloring(edges: DataFrame, nodes: DataFrame, max_iter: int) -> 
             .localCheckpoint(eager=True)
         )
         changed = int(updated.agg(F.sum("__ch")).collect()[0][0] or 0)
-        col = updated.select("id", "col")
+        col = updated
         if changed == 0:
             break
-    return col
+    return col.select("id", "col")
 
 
 def strongly_connected_components(
