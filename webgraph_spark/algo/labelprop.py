@@ -78,11 +78,13 @@ def label_propagation(
             .groupBy(F.col("dst"), F.col("label"))
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
-        w = Window.partitionBy("dst").orderBy(F.desc("cnt"), F.asc("label"))
-        winner = (
-            counts.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(F.col("dst").alias("id"), F.col("label").alias("new_label"))
+        # winner per dst via max_by over (cnt, -label): max count, ties to
+        # the SMALLEST label — a hash aggregate instead of a per-dst window
+        # sort (one less sort+exchange in the loop)
+        winner = counts.groupBy(F.col("dst").alias("id")).agg(
+            F.max_by(
+                "label", F.struct(F.col("cnt"), (-F.col("label")).alias("nl"))
+            ).alias("new_label")
         )
         # changed flag computed in the same join/select that applies the
         # update — the count is then a cheap scan of the checkpointed rows,
