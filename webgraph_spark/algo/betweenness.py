@@ -51,7 +51,8 @@ def betweenness(
     )
     frontier = visited
     depth = 0
-    for depth in range(1, max_depth + 1):
+    drained = False
+    for depth in range(1, max_depth + 2):
         expand = (
             frontier.join(edges, frontier["v"] == edges["src"])
             .groupBy("s", F.col("dst").alias("v"))
@@ -63,9 +64,18 @@ def betweenness(
         )
         if expand.isEmpty():
             depth -= 1
+            drained = True
+            break
+        if depth > max_depth:
             break
         visited = visited.unionByName(expand).localCheckpoint(eager=True)
         frontier = expand
+    if not drained:
+        # paths deeper than max_depth exist: values would be silently wrong
+        raise ValueError(
+            f"betweenness forward sweep truncated at max_depth={max_depth} "
+            "with a non-empty frontier; raise max_depth"
+        )
 
     # -- backward: delta accumulation from deepest level up ----------------
     # arcs one level apart, per source: (s, v, w) with dist_w = dist_v + 1

@@ -90,8 +90,16 @@ def _merge_factory(m: int, t: int):
             b"".join(pdf["regs"].tolist()), dtype=np.uint8
         ).reshape(len(pdf), m)
         uniq, starts = np.unique(ids, return_index=True)
-        # rows arrive sorted by (id, is_own desc): starts index the own rows
+        # rows arrive sorted by (id, is_own desc): starts index the own rows.
+        # A group with NO own row (an edge src absent from `nodes`) would
+        # otherwise mint a phantom state row with est_old = 0 — drop it.
+        own_first = pdf["is_own"].to_numpy(np.int32)[starts] == 1
         merged = np.maximum.reduceat(regs, starts, axis=0)
+        if not own_first.all():
+            uniq, starts = uniq[own_first], starts[own_first]
+            merged = merged[own_first]
+            if uniq.size == 0:
+                return
         old = regs[starts]
         changed = (merged != old).any(axis=1).astype(np.int32)
         est_new = _estimate(merged, m)
@@ -208,7 +216,6 @@ def hyperball(
             own.unionByName(msgs)
             .repartition("id")
             .sortWithinPartitions("id", F.desc("is_own"))
-            .drop("is_own")
             .mapInPandas(_merge_factory(m, t), schema=_STATE_SCHEMA)
             .localCheckpoint(eager=True)
         )

@@ -146,6 +146,11 @@ def strongly_connected_components(
         result.rounds = rnd + 1
         result.iter_seconds.append(time.monotonic() - t0)
 
+    if not assigned_parts:
+        # empty graph: no rounds ran — return an empty (id, comp) frame
+        spark = edges.sparkSession
+        result.components = spark.createDataFrame([], "id long, comp long")
+        return result
     out = assigned_parts[0]
     for p in assigned_parts[1:]:
         out = out.unionByName(p)

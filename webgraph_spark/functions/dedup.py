@@ -82,13 +82,20 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.8,
-    max_shingle_freq: int | None = None,
+    max_shingle_freq: int | None = 1000,
+    log_dropped: bool = False,
 ) -> DataFrame:
     """EXACT all-pairs n-gram Jaccard >= threshold via inverted shingle index.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b. ``max_shingle_freq``
-    drops shingles occurring in more than that many docs (blowup guard at
-    scale; None = exact over everything).
+    drops shingles occurring in more than that many docs from CANDIDATE
+    GENERATION only (Jaccard is still exact over full shingle sets): a
+    shingle shared by k docs contributes k² candidate rows, so one
+    boilerplate line in 10⁶ docs is 10¹² rows without the guard. Default
+    1000 caps any shingle's candidate contribution at 10⁶ rows; pairs whose
+    ONLY common shingles are ultra-common are missed — pass ``None`` for
+    exhaustive candidates on fixture-scale data. ``log_dropped=True`` counts
+    and logs the dropped shingles (one extra aggregate job).
     """
     sh = df.select(
         F.col(id_col).alias("id"), shingle_col(text_col, n).alias("sh")
@@ -97,7 +104,38 @@ def ngram_jaccard_pairs(
     inv = sh.select("id", F.explode("sh").alias("g"))
     if max_shingle_freq is not None:
         freq = inv.groupBy("g").agg(F.count(F.lit(1)).alias("f"))
+        if log_dropped:
+            import logging
+
+            dropped = freq.filter(F.col("f") > max_shingle_freq).count()
+            logging.getLogger(__name__).info(
+                "ngram_jaccard_pairs: dropping %d shingles with doc-freq > %d "
+                "from candidate generation", dropped, max_shingle_freq,
+            )
         inv = inv.join(freq.filter(F.col("f") <= max_shingle_freq), "g", "leftsemi")
+        # exact verification below recomputes the intersection over FULL
+        # shingle sets, so the guard only affects which pairs are considered
+        a = inv.select(F.col("id").alias("id_a"), "g")
+        b = inv.select(F.col("id").alias("id_b"), "g")
+        cands = (
+            a.join(b, "g")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        sh_a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+        sh_b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+        return (
+            cands.join(sh_a, "id_a")
+            .join(sh_b, "id_b")
+            .withColumn(
+                "jaccard",
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
     a = inv.select(F.col("id").alias("id_a"), "g")
     b = inv.select(F.col("id").alias("id_b"), "g")
     inter = (

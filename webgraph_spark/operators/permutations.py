@@ -42,30 +42,42 @@ def random_permutation(nodes: DataFrame, seed: int = 42) -> DataFrame:
     return _rank_to_map(keyed)
 
 
-def lexicographic_permutation(edges: DataFrame, nodes: DataFrame) -> DataFrame:
+def lexicographic_permutation(
+    edges: DataFrame, nodes: DataFrame, max_prefix: int | None = None
+) -> DataFrame:
     """Order nodes by their successor list, lexicographically
     (``Transform.lexicographicalPermutation``, ``Transform.java:2551-2584``).
 
-    The sort key is the sorted successor array (nodes with no successors
-    sort first, matching an all-zero adjacency row); ties broken by id.
+    The sort key is the sorted successor ARRAY (Spark orders array columns
+    element-wise lexicographically; the empty array sorts first, matching an
+    all-zero adjacency row); ties broken by id. No per-node string key is
+    materialized — the array is 8 bytes/successor and feeds range
+    partitioning + in-partition sort directly.
+
+    ``max_prefix`` bounds the key for hub nodes at scale: the key becomes
+    ``(first max_prefix successors, degree)`` — nodes identical on the
+    bounded prefix tie-break by (degree, id) instead of the full list, a
+    documented deviation from exact lexicographic order (default None =
+    exact).
     """
     succ = edges.groupBy(F.col("src").alias("id")).agg(
         F.array_sort(F.collect_list("dst")).alias("__succs")
     )
-    keyed = (
-        nodes.join(succ, "id", "left")
-        .select(
+    joined = nodes.join(succ, "id", "left").select(
+        "id",
+        F.coalesce("__succs", F.array().cast("array<long>")).alias("__succs"),
+    )
+    if max_prefix is not None:
+        keyed = joined.select(
             "id",
-            F.coalesce(
-                F.array_join(
-                    F.transform("__succs", lambda d: F.format_string("%019d", d)),
-                    ",",
-                ),
-                F.lit(""),
-            ).alias("__k"),
+            F.slice("__succs", 1, max_prefix).alias("__k"),
+            F.size("__succs").cast("long").alias("__deg"),
             F.col("id").alias("__t"),
         )
-    )
+    else:
+        keyed = joined.select(
+            "id", F.col("__succs").alias("__k"), F.col("id").alias("__t")
+        )
     return _rank_to_map(keyed)
 
 

@@ -58,15 +58,19 @@ def gap_stats(edges: DataFrame) -> dict:
     loc = edges.agg(
         F.avg(F.abs(F.col("dst") - F.col("src"))).alias("avg_locality")
     ).collect()[0]["avg_locality"]
+    # min/max/count per src suffice (mean consecutive-gap telescopes to
+    # (max-min)/(count-1)) — no collect_list, hub-safe at any degree
     per_list = (
         edges.groupBy("src")
-        .agg(F.array_sort(F.collect_list("dst")).alias("succs"))
+        .agg(
+            F.min("dst").alias("mn"),
+            F.max("dst").alias("mx"),
+            F.count(F.lit(1)).alias("c"),
+        )
         .select(
-            F.abs(F.element_at("succs", 1) - F.col("src")).alias("first_gap"),
+            F.abs(F.col("mn") - F.col("src")).alias("first_gap"),
             F.when(
-                F.size("succs") > 1,
-                (F.element_at("succs", -1) - F.element_at("succs", 1))
-                / (F.size("succs") - 1),
+                F.col("c") > 1, (F.col("mx") - F.col("mn")) / (F.col("c") - 1)
             ).alias("mean_gap"),
         )
         .agg(

@@ -97,7 +97,11 @@ def salted_sum(
     (it only splits join partitions, not aggregations).
     """
     out_col = out_col or value
-    salt = F.pmod(F.xxhash64(F.col(key), F.monotonically_increasing_id()), F.lit(num_salts))
+    # salt must be DETERMINISTIC per row content: a retried map task must
+    # re-salt identically or partial aggregates double/lose rows
+    # (the SPARK-23207 class of bug) — hash the row's own columns, never
+    # monotonically_increasing_id/rand.
+    salt = F.pmod(F.xxhash64(F.col(key), F.col(value)), F.lit(num_salts))
     partial = (
         df.withColumn("__salt", salt)
         .groupBy(key, "__salt")

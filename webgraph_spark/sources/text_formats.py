@@ -59,15 +59,33 @@ def write_arc_list(edges: DataFrame, path: str, sep: str = "\t") -> None:
 
 
 def _with_line_numbers(lines: DataFrame) -> DataFrame:
-    """Global 0-based line numbers via per-partition counts + offsets
-    (text-file splits preserve in-file order; same pattern as id minting)."""
+    """Global 0-based line numbers via per-partition counts + offsets.
+
+    Text-file splits of ONE file preserve in-file order across ascending
+    partition ids; a multi-file directory does not (FileScan packs splits
+    largest-first, so partition order != filename order) — the input must be
+    a single file, enforced below.
+    """
     lines = lines.persist()
-    counts = {
-        r["pid"]: r["cnt"]
-        for r in lines.groupBy(F.spark_partition_id().alias("pid"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
+    stats = (
+        lines.select(
+            F.spark_partition_id().alias("pid"),
+            F.input_file_name().alias("fn"),
+        )
+        .groupBy("pid")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.count_distinct("fn").alias("nf"),
+            F.min("fn").alias("f"),
+        )
         .collect()
-    }
+    )
+    if len({r["f"] for r in stats}) > 1 or any(r["nf"] > 1 for r in stats):
+        raise ValueError(
+            ".graph-txt ingestion requires a single input file (got a "
+            "multi-file directory: line order would be scrambled)"
+        )
+    counts = {r["pid"]: r["cnt"] for r in stats}
     offsets, acc = {}, 0
     for pid in sorted(counts):
         offsets[pid] = acc
