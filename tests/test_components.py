@@ -33,14 +33,20 @@ def test_two_islands_and_isolated(spark):
 
 
 def test_long_chain_converges(spark):
-    # Hash-min needs O(diameter) rounds; a 60-chain exercises the loop depth.
+    # Hash-min alone needs O(diameter) rounds; on a 60-chain the star
+    # fallback kicks in at round 24 and finishes in O(log n) more.
     n = 60
     arcs = [(i, i + 1) for i in range(n - 1)]
     edges = spark.createDataFrame(arcs, "src long, dst long")
     res = hash_min_components(edges, max_iter=100)
     got = _comp_map(res.components)
     assert set(got.values()) == {0}
-    assert res.changed_per_iter[-1] == 0
+    assert res.iterations < n - 1  # strictly better than pure hash-min
+
+    # pure hash-min (fallback disabled) still converges, the slow way
+    res2 = hash_min_components(edges, max_iter=100, star_fallback_after=None)
+    assert _comp_map(res2.components) == got
+    assert res2.changed_per_iter[-1] == 0
 
 
 @pytest.mark.parametrize("seed", [1, 2, 3])

@@ -1,0 +1,233 @@
+"""Round-2 operators: exact SumSweep, Gray-code permutation, bulk adjacency
+test, star-contraction CC, weighted/discounted HyperBall.
+
+Differential strategy mirrors the reference's tests: SumSweep vs brute-force
+eccentricities (``SumSweepDirectedDiameterRadiusTest.java``), Gray order vs a
+driver-side numpy Gray rank, has_arcs vs a Python set, star contraction vs
+union-find (``ConnectedComponentsTest.java:56`` pattern).
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tests.oracles import cc_union_find, er_arcs
+
+
+def _df(spark, arcs):
+    return spark.createDataFrame(arcs, "src long, dst long")
+
+
+# ---------------------------------------------------------------------------
+# SumSweep exact diameter/radius
+# ---------------------------------------------------------------------------
+
+
+def _brute_ecc(arcs, nodes):
+    """Forward eccentricities over each node's reachable set (BFS)."""
+    from collections import deque
+
+    adj = {v: [] for v in nodes}
+    for a, b in arcs:
+        adj[a].append(b)
+    eccs = {}
+    for s in nodes:
+        dist = {s: 0}
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            for w in adj[u]:
+                if w not in dist:
+                    dist[w] = dist[u] + 1
+                    q.append(w)
+        eccs[s] = max(dist.values())
+    return eccs
+
+
+@pytest.mark.parametrize("seed", [1, 2])
+def test_sumsweep_matches_brute_force(spark, seed):
+    from webgraph_spark.algo.sumsweep import sumsweep_diameter_radius
+
+    n = 30
+    arcs = er_arcs(n, 0.15, seed)
+    # make it strongly connected by adding a cycle (the reference operates
+    # on the SCC condensation; we document the same regime)
+    arcs = sorted(set(arcs) | {(i, (i + 1) % n) for i in range(n)})
+    eccs = _brute_ecc(arcs, range(n))
+    res = sumsweep_diameter_radius(_df(spark, arcs))
+    assert res.diameter == max(eccs.values())
+    assert res.radius == min(eccs.values())
+    assert res.sweeps < n  # bound refinement beats one-BFS-per-node
+
+
+def test_sumsweep_cycle_and_star(spark):
+    from webgraph_spark.algo.sumsweep import four_sweep, sumsweep_diameter_radius
+
+    cyc = _df(spark, [(i, (i + 1) % 6) for i in range(6)])
+    r = sumsweep_diameter_radius(cyc)
+    assert (r.diameter, r.radius) == (5, 5)
+    assert four_sweep(cyc)["diameter_lower_bound"] == 5
+
+    star = _df(
+        spark, [(0, i) for i in range(1, 5)] + [(i, 0) for i in range(1, 5)]
+    )
+    r2 = sumsweep_diameter_radius(star)
+    assert (r2.diameter, r2.radius) == (2, 1)
+
+
+# ---------------------------------------------------------------------------
+# Gray-code permutation
+# ---------------------------------------------------------------------------
+
+
+def _brute_gray_order(arcs, n):
+    adj = np.zeros((n, n), dtype=np.int64)
+    for a, b in arcs:
+        adj[a, b] = 1
+    g = np.cumsum(adj, axis=1) % 2  # prefix-xor of the bit rows
+    ranks = [int("".join(map(str, row)), 2) for row in g]
+    order = sorted(range(n), key=lambda i: (ranks[i], i))
+    return {node: pos for pos, node in enumerate(order)}
+
+
+@pytest.mark.parametrize("seed", [3, 4])
+def test_gray_permutation_matches_brute_force(spark, seed):
+    from webgraph_spark.operators.permutations import gray_code_permutation
+
+    n = 16
+    rng = np.random.default_rng(seed)
+    arcs = sorted({(int(a), int(b)) for a, b in rng.integers(0, n, (60, 2))})
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    got = {
+        r["id"]: r["new_id"]
+        for r in gray_code_permutation(_df(spark, arcs), nodes).collect()
+    }
+    assert got == _brute_gray_order(arcs, n)
+
+
+def test_gray_at_least_as_compact_as_lex(spark):
+    """The point of Gray ordering (Transform.java:2468-2545): consecutive
+    rows differ in few bits -> smaller successor gaps after remap. Assert
+    Gray ≤ lex bits/link on a clustered corpus graph."""
+    from webgraph_spark.operators.permutations import (
+        gray_code_permutation,
+        lexicographic_permutation,
+    )
+    from webgraph_spark.operators.transform import map_nodes
+    from webgraph_spark.plans.csr import build_csr, compression_stats
+    from webgraph_spark.sources.corpus import corpus_edges, corpus_nodes, synth_corpus
+
+    corpus = synth_corpus(spark, n_repos=8, files_per_repo=30)
+    nodes = corpus_nodes(corpus)
+    edges = corpus_edges(corpus, nodes, no_loops=True).persist()
+    ids = nodes.select("id")
+    lex = compression_stats(
+        build_csr(map_nodes(edges, lexicographic_permutation(edges, ids)), num_blocks=2)
+    )
+    gray = compression_stats(
+        build_csr(map_nodes(edges, gray_code_permutation(edges, ids)), num_blocks=2)
+    )
+    assert gray["edges"] == lex["edges"]
+    assert gray["bits_per_link"] <= lex["bits_per_link"] * 1.02
+
+
+# ---------------------------------------------------------------------------
+# Bulk adjacency test (EFGraph skipTo analogue)
+# ---------------------------------------------------------------------------
+
+
+def test_csr_has_arcs(spark):
+    from webgraph_spark.plans.csr import build_csr, csr_has_arcs
+
+    rng = np.random.default_rng(9)
+    arcs = sorted({(int(a), int(b)) for a, b in rng.integers(0, 40, (200, 2))})
+    csr = build_csr(_df(spark, arcs), num_blocks=3)
+    probes = [
+        (int(a), int(b)) for a, b in rng.integers(0, 45, (80, 2))
+    ] + arcs[:15]
+    res = {
+        (r["src"], r["dst"]): r["exists"]
+        for r in csr_has_arcs(csr, _df(spark, probes)).collect()
+    }
+    want = set(arcs)
+    assert all(res[q] == (q in want) for q in set(probes))
+
+
+# ---------------------------------------------------------------------------
+# Star-contraction components
+# ---------------------------------------------------------------------------
+
+
+def test_star_contraction_long_path_logarithmic(spark):
+    from webgraph_spark.algo.components import star_contraction_components
+
+    n = 10_000
+    e = _df(spark, [(i, i + 1) for i in range(n - 1)])
+    res = star_contraction_components(e)
+    assert res.iterations <= 2 * int(np.ceil(np.log2(n)))  # O(log n), not O(n)
+    comps = res.components.agg(
+        F.count_distinct("comp").alias("k"), F.min("comp").alias("m")
+    ).collect()[0]
+    assert (comps["k"], comps["m"]) == (1, 0)
+
+
+@pytest.mark.parametrize("seed", [5, 6])
+def test_star_contraction_vs_union_find(spark, seed):
+    from webgraph_spark.algo.components import star_contraction_components
+
+    n = 120
+    arcs = er_arcs(n, 0.01, seed)
+    nodes = list(range(n))
+    e = _df(spark, arcs or [(0, 0)])
+    ndf = spark.createDataFrame([(i,) for i in nodes], "id long")
+    res = star_contraction_components(e, ndf)
+    got = {r["id"]: r["comp"] for r in res.components.collect()}
+    assert got == cc_union_find(arcs, nodes)
+
+
+# ---------------------------------------------------------------------------
+# HyperBall weights + discounts
+# ---------------------------------------------------------------------------
+
+
+def test_hyperball_weights_and_discounts_vs_exact(spark):
+    from webgraph_spark.algo.hyperball import centralities, hyperball
+
+    arcs = [(0, 1), (1, 2), (2, 3), (3, 0), (1, 3)]
+    weights = {0: 3, 1: 1, 2: 1, 3: 1}
+    nodes = spark.createDataFrame([(i,) for i in range(4)], "id long")
+    w = spark.createDataFrame(list(weights.items()), "id long, weight int")
+    res = hyperball(
+        spark.createDataFrame(arcs, "src long, dst long"),
+        nodes,
+        log2m=10,
+        max_iter=16,
+        weights=w,
+        discounts={"exp_disc": lambda t: 0.5**t},
+    )
+    got = {r["id"]: r for r in centralities(res).collect()}
+
+    eccs = _brute_ecc(arcs, range(4))  # noqa: F841 (reachability sanity)
+    from collections import deque
+
+    adj = {v: [] for v in range(4)}
+    for a, b in arcs:
+        adj[a].append(b)
+    for s in range(4):
+        dist = {s: 0}
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            for v2 in adj[u]:
+                if v2 not in dist:
+                    dist[v2] = dist[u] + 1
+                    q.append(v2)
+        reach = sum(weights[v] for v in dist)
+        harm = sum(weights[v] / d for v, d in dist.items() if d > 0)
+        disc = sum(weights[v] * 0.5**d for v, d in dist.items() if d > 0)
+        r = got[s]
+        # log2m=10 keeps HLL relative error ~1.6%; exact integers this small
+        # land within ±5%
+        assert abs(r["reachable"] - reach) / reach < 0.05
+        assert abs(r["harmonic"] - harm) / harm < 0.05
+        assert abs(r["exp_disc"] - disc) / disc < 0.05

@@ -34,12 +34,19 @@ def hash_min_components(
     checkpointer=None,
     initial: DataFrame | None = None,
     start_iteration: int = 0,
+    star_fallback_after: int | None = 24,
 ) -> ComponentsResult:
     """Hash-min fixpoint over the symmetrized edge set.
 
     Convergence in O(diameter) rounds; the changed-count aggregate doubles as
     the per-round action (no extra count job). Isolated nodes (present in
     ``nodes`` but no arcs) keep their own id as component.
+
+    ``star_fallback_after``: if still unconverged after that many rounds the
+    graph has a long-chain region (diameter ≫ typical web-graph depth) —
+    switch to :func:`star_contraction_components` (O(log n) rounds), seeding
+    it with the labels already computed so earlier rounds aren't wasted.
+    ``None`` disables the fallback.
     """
     from webgraph_spark.plans.partitioning import partition_for_join
 
@@ -100,7 +107,117 @@ def hash_min_components(
         comps = new_comps
         if changed == 0:
             break
+        if (
+            star_fallback_after is not None
+            and it - start_iteration + 1 >= star_fallback_after
+        ):
+            # long-chain graph: finish with O(log n) star contraction,
+            # seeded by the partial labels (same-component by construction)
+            seed_edges = sym.select("src", "dst").union(
+                comps.filter(F.col("id") != F.col("comp")).select(
+                    F.col("id").alias("src"), F.col("comp").alias("dst")
+                )
+            )
+            star = star_contraction_components(seed_edges, nodes)
+            result.iterations += star.iterations
+            result.iter_seconds.extend(star.iter_seconds)
+            result.changed_per_iter.extend([-1] * star.iterations)
+            result.components = star.components
+            return result
     result.components = comps.select("id", "comp")
+    return result
+
+
+def star_contraction_components(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    max_rounds: int = 64,
+) -> ComponentsResult:
+    """Connected components by alternating large-star/small-star contraction
+    (Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC'14)
+    — O(log n) rounds regardless of diameter, the scale path for
+    high-diameter graphs where hash-min's O(diameter) rounds degenerate
+    (a 10⁴-diameter crawl chain = 10⁴ shuffles).
+
+    large-star: every node points its larger neighbours at the minimum of
+    its neighbourhood; small-star: every node and its smaller neighbours
+    collapse onto that minimum. The edge multiset converges to per-component
+    stars rooted at the component's minimum id. Convergence is detected by
+    an order-insensitive (count, bit_xor-hash) signature of the edge set —
+    one aggregate action per round.
+    """
+
+    def _sig(e: DataFrame) -> tuple[int, int]:
+        row = e.agg(
+            F.count(F.lit(1)).alias("c"),
+            F.bit_xor(F.xxhash64("src", "dst")).alias("h"),
+        ).collect()[0]
+        return int(row["c"] or 0), int(row["h"] or 0)
+
+    def _large(e: DataFrame) -> DataFrame:
+        sym = (
+            e.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+            .union(e.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+            .distinct()
+        )
+        mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        return (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(
+                F.col("v").alias("src"),
+                F.least("mn", F.col("u")).alias("dst"),
+            )
+            .distinct()
+        )
+
+    def _small(e: DataFrame) -> DataFrame:
+        oriented = e.select(
+            F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
+        )
+        mins = oriented.groupBy("u").agg(F.min("v").alias("mn"))
+        pointed = oriented.join(mins, "u").select(
+            F.col("v").alias("src"), F.col("mn").alias("dst")
+        )
+        self_edges = mins.select(
+            F.col("u").alias("src"), F.col("mn").alias("dst")
+        )
+        return (
+            pointed.union(self_edges)
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+
+    if nodes is None:
+        nodes = (
+            edges.select(F.col("src").alias("id"))
+            .union(edges.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+    e = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .localCheckpoint(eager=True)
+    )
+    result = ComponentsResult(components=None, iterations=0)
+    prev = _sig(e)
+    for rnd in range(max_rounds):
+        t0 = time.monotonic()
+        e = _small(_large(e)).localCheckpoint(eager=True)
+        sig = _sig(e)
+        result.iterations = rnd + 1
+        result.iter_seconds.append(time.monotonic() - t0)
+        if sig == prev:
+            break
+        prev = sig
+    # final stars: (v → component min); roots + isolated nodes map to self
+    assigned = e.select(F.col("src").alias("id"), F.col("dst").alias("comp"))
+    comps = (
+        nodes.select("id")
+        .join(assigned, "id", "left")
+        .select("id", F.coalesce("comp", F.col("id")).alias("comp"))
+    )
+    result.components = comps
     return result
 
 

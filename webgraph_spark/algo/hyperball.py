@@ -68,7 +68,14 @@ _STATE_SCHEMA = (
 )
 
 
-def _merge_factory(m: int, t: int):
+def _schema_with_discounts(disc_names: list[str]) -> str:
+    base = "id long, regs binary, est double, harmonic double, sum_dist double"
+    for name in disc_names:
+        base += f", {name} double"
+    return base + ", changed int"
+
+
+def _merge_factory(m: int, t: int, disc_factors: dict[str, float] | None = None):
     """Partition-wise vectorized register merge.
 
     Input partitions are hash-partitioned and sorted by (id, is_own desc),
@@ -107,16 +114,20 @@ def _merge_factory(m: int, t: int):
         delta = np.maximum(est_new - est_old, 0.0)
         harmonic = pdf["harmonic"].to_numpy(np.float64)[starts] + delta / t
         sum_dist = pdf["sum_dist"].to_numpy(np.float64)[starts] + delta * t
-        yield pd.DataFrame(
-            {
-                "id": uniq,
-                "regs": [r.tobytes() for r in merged],
-                "est": est_new,
-                "harmonic": harmonic,
-                "sum_dist": sum_dist,
-                "changed": changed,
-            }
-        )
+        out = {
+            "id": uniq,
+            "regs": [r.tobytes() for r in merged],
+            "est": est_new,
+            "harmonic": harmonic,
+            "sum_dist": sum_dist,
+        }
+        # discounted centralities (HyperBall.java:232-250): each named
+        # discount accumulates delta * f(t); f(t) is evaluated driver-side
+        # once per iteration and closed over here.
+        for name, factor in (disc_factors or {}).items():
+            out[name] = pdf[name].to_numpy(np.float64)[starts] + delta * factor
+        out["changed"] = changed
+        yield pd.DataFrame(out)
 
     return merge
 
@@ -127,63 +138,117 @@ def hyperball(
     log2m: int = 6,
     seed: int = 42,
     max_iter: int = 64,
+    weights: DataFrame | None = None,
+    discounts: dict | None = None,
 ) -> HyperBallResult:
     """Run to the exact register fixpoint (``modified()==0``) or ``max_iter``.
 
     ``nf[t]`` approximates the number of pairs within distance <= t;
     ``state.est`` is each node's reachable-set size estimate; ``harmonic``
     and ``sum_dist`` give harmonic/closeness/Lin centralities.
+
+    ``weights``: optional ``(id, weight)`` with NONNEGATIVE INTEGER weights
+    (``HyperBall.java:259``): node y counts weight(y) times in every ball —
+    realized exactly as the reference does, by inserting weight(y) distinct
+    hashed copies of y into its own counter at init. Weight-0 nodes exist
+    but contribute no mass. ``est``/``nf``/centralities then measure
+    weighted reachable mass.
+
+    ``discounts``: optional ``{name: f}`` of discount functions
+    (``HyperBall.java:232-250``): for each, an accumulator column ``name``
+    collects ``Σ_t Δ_t · f(t)`` (harmonic centrality is the special case
+    ``f(t) = 1/t``). ``f`` is called driver-side once per iteration.
     """
     from webgraph_spark.plans.partitioning import partition_for_join
 
     m = 1 << log2m
+    disc_names = sorted(discounts) if discounts else []
+    schema = _schema_with_discounts(disc_names)
     # gather joins on dst every iteration — cache the graph pre-partitioned
     # on dst so only the state table shuffles (see partition_for_join)
     edges = partition_for_join(edges.select("src", "dst"), "dst").persist()
     edges.count()
     spark = edges.sparkSession
 
-    # init: seed register from the node's own hash (JVM-side xxhash64).
-    h = F.xxhash64(F.lit(seed), F.col("id"))
-    j = F.pmod(h, F.lit(m))
-    # rho = number of leading zeros of a second hash + 1, capped
-    h2 = F.xxhash64(F.lit(seed + 1), F.col("id"))
+    # init: one seeded register per (node, copy) pair, hashed JVM-side;
+    # copies realize integer weights (weight 1 = the classic single insert).
+    if weights is None:
+        seeded = nodes.select("id", F.lit(0).alias("k"))
+    else:
+        w = nodes.join(weights.select("id", "weight"), "id", "left").na.fill(
+            {"weight": 1}
+        )
+        seeded = w.select(
+            "id",
+            F.explode_outer(
+                F.when(
+                    F.col("weight") > 0,
+                    F.sequence(F.lit(0), F.col("weight").cast("long") - 1),
+                )
+            ).alias("k"),
+        )
+    # null k (weight-0 node) → live=0 row with j=0, h2=0: contributes no
+    # register mass but keeps the node's state row. Nulls are resolved
+    # JVM-side — h2 is a full 64-bit hash and must never round-trip through
+    # pandas' nullable float64.
+    live_c = F.col("k").isNotNull().cast("int")
+    j = F.when(
+        F.col("k").isNotNull(),
+        F.pmod(F.xxhash64(F.lit(seed), F.col("id"), F.col("k")), F.lit(m)),
+    ).otherwise(F.lit(0))
+    h2 = F.when(
+        F.col("k").isNotNull(),
+        F.xxhash64(F.lit(seed + 1), F.col("id"), F.col("k")),
+    ).otherwise(F.lit(0))
 
     def init_kernel(pdf_iter):
-        for pdf in pdf_iter:
-            n = len(pdf)
-            ids = pdf["id"].to_numpy(np.int64)
-            js = pdf["j"].to_numpy(np.int64)
-            h2s = pdf["h2"].to_numpy(np.int64).astype(np.uint64)
-            # rho: position of first 1-bit from LSB side + 1 (geometric)
-            v = h2s.copy()
-            mask = v != 0
-            # count trailing zeros vectorized
-            tz = np.zeros(n, dtype=np.int64)
-            vv = v.copy()
-            for b in (32, 16, 8, 4, 2, 1):
-                low = (vv & ((np.uint64(1) << np.uint64(b)) - np.uint64(1))) == 0
-                step = mask & low & (tz + b <= 62)
-                tz = np.where(step, tz + b, tz)
-                vv = np.where(step, vv >> np.uint64(b), vv)
-            rho = np.where(mask, tz + 1, 1).astype(np.uint8)
-            regs = np.zeros((n, m), dtype=np.uint8)
-            regs[np.arange(n), js] = rho
-            est = _estimate(regs, m)
-            yield pd.DataFrame(
-                {
-                    "id": ids,
-                    "regs": [r.tobytes() for r in regs],
-                    "est": est,
-                    "harmonic": np.zeros(n),
-                    "sum_dist": np.zeros(n),
-                    "changed": np.ones(n, dtype=np.int32),
-                }
-            )
+        pdfs = list(pdf_iter)
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        if pdf.empty:
+            return
+        n = len(pdf)
+        ids = pdf["id"].to_numpy(np.int64)
+        live = pdf["live"].to_numpy(np.int32) == 1
+        js = pdf["j"].to_numpy(np.int64)
+        h2s = pdf["h2"].to_numpy(np.int64).astype(np.uint64)
+        # rho: position of first 1-bit from LSB side + 1 (geometric)
+        v = h2s.copy()
+        mask = (v != 0) & live
+        # count trailing zeros vectorized
+        tz = np.zeros(n, dtype=np.int64)
+        vv = v.copy()
+        for b in (32, 16, 8, 4, 2, 1):
+            low = (vv & ((np.uint64(1) << np.uint64(b)) - np.uint64(1))) == 0
+            step = mask & low & (tz + b <= 62)
+            tz = np.where(step, tz + b, tz)
+            vv = np.where(step, vv >> np.uint64(b), vv)
+        rho = np.where(mask, tz + 1, np.where(live, 1, 0)).astype(np.uint8)
+        # merge copies of the same node: rows sorted by id, reduceat max
+        uniq, starts = np.unique(ids, return_index=True)
+        regs = np.zeros((n, m), dtype=np.uint8)
+        regs[np.arange(n), js] = rho
+        regs = np.maximum.reduceat(regs, starts, axis=0)
+        g = uniq.size
+        est = _estimate(regs, m)
+        out = {
+            "id": uniq,
+            "regs": [r.tobytes() for r in regs],
+            "est": est,
+            "harmonic": np.zeros(g),
+            "sum_dist": np.zeros(g),
+        }
+        for name in disc_names:
+            out[name] = np.zeros(g)
+        out["changed"] = np.ones(g, dtype=np.int32)
+        yield pd.DataFrame(out)
 
     state = (
-        nodes.select("id", j.alias("j"), h2.alias("h2"))
-        .mapInPandas(init_kernel, schema=_STATE_SCHEMA)
+        seeded.select("id", j.alias("j"), h2.alias("h2"), live_c.alias("live"))
+        .repartition("id")
+        .sortWithinPartitions("id")
+        .mapInPandas(init_kernel, schema=schema)
         .localCheckpoint(eager=True)
     )
     result = HyperBallResult(state=state)
@@ -193,7 +258,13 @@ def hyperball(
     for t in range(1, max_iter + 1):
         t0 = time.monotonic()
         own = state.select(
-            "id", "regs", "est", "harmonic", "sum_dist", F.lit(1).alias("is_own")
+            "id",
+            "regs",
+            "est",
+            "harmonic",
+            "sum_dist",
+            *disc_names,
+            F.lit(1).alias("is_own"),
         )
         # Systolic gather (HyperBall.java:120-135): a successor whose
         # registers did NOT change last iteration contributes nothing new
@@ -210,13 +281,17 @@ def hyperball(
             F.lit(0.0).alias("est"),
             F.lit(0.0).alias("harmonic"),
             F.lit(0.0).alias("sum_dist"),
+            *[F.lit(0.0).alias(name) for name in disc_names],
             F.lit(0).alias("is_own"),
         )
+        disc_factors = {
+            name: float(discounts[name](t)) for name in disc_names
+        }
         merged = (
             own.unionByName(msgs)
             .repartition("id")
             .sortWithinPartitions("id", F.desc("is_own"))
-            .mapInPandas(_merge_factory(m, t), schema=_STATE_SCHEMA)
+            .mapInPandas(_merge_factory(m, t, disc_factors), schema=schema)
             .localCheckpoint(eager=True)
         )
         agg = merged.agg(
@@ -290,13 +365,20 @@ def jackknife(nfs: list[list[float]], statistic) -> dict:
 
 
 def centralities(result: HyperBallResult) -> DataFrame:
-    """(id, reachable, harmonic, closeness, lin) from a finished run
-    (``HyperBall.java:266-279`` accumulators)."""
+    """(id, reachable, harmonic, closeness, lin[, discounts...]) from a
+    finished run (``HyperBall.java:266-279`` accumulators; discount columns
+    per ``HyperBall.java:232-250`` pass through by name)."""
     s = result.state
+    extra = [
+        c
+        for c in s.columns
+        if c not in ("id", "regs", "est", "harmonic", "sum_dist", "changed")
+    ]
     return s.select(
         "id",
         F.col("est").alias("reachable"),
         "harmonic",
+        *extra,
         F.when(F.col("sum_dist") > 0, 1.0 / F.col("sum_dist"))
         .otherwise(0.0)
         .alias("closeness"),

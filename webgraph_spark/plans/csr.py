@@ -183,6 +183,83 @@ def csr_to_edges(blocks: DataFrame) -> DataFrame:
     return blocks.mapInArrow(decode, schema="src long, dst long")
 
 
+def csr_has_arcs(csr: CsrGraph, pairs: DataFrame) -> DataFrame:
+    """Bulk adjacency test over the CSR blocks: ``(src, dst, exists)``.
+
+    The user-facing form of EFGraph's ``skipTo`` successor search
+    (``EFGraph.java:78,147``; exercised by ``test/SpeedTest.java:138-146``
+    as random adjacency probes). Queries are routed to their block by the
+    same cut points that placed the edges (one shuffle of the QUERY table
+    only — blocks are matched by block_id), then answered inside one Arrow
+    kernel with a vectorized sorted-merge against the decoded successor
+    stream: O((E_blk + Q_blk) log) per block, no per-query Python loop.
+
+    Pairs whose src falls in a block with no edges (or outside every block's
+    src range) come back ``exists = false``.
+    """
+    import pandas as pd
+
+    tagged = pairs.select(
+        F.col("src").cast("long"), F.col("dst").cast("long")
+    ).withColumn("block_id", block_id_column(csr.cuts, "src"))
+
+    def probe(key, queries: "pd.DataFrame", blocks: "pd.DataFrame"):
+        if queries.empty:
+            return pd.DataFrame(
+                {"src": [], "dst": [], "exists": []}
+            ).astype({"src": "int64", "dst": "int64", "exists": "bool"})
+        qs = queries["src"].to_numpy(np.int64)
+        qd = queries["dst"].to_numpy(np.int64)
+        esrc = np.empty(0, np.int64)
+        edst = np.empty(0, np.int64)
+        if not blocks.empty:
+            parts_s, parts_d = [], []
+            for _, row in blocks.iterrows():
+                srcs, indptr, succs = decode_block(
+                    np.asarray(row["srcs"], dtype=np.int64),
+                    np.asarray(row["degs"], dtype=np.int64),
+                    row["succ"],
+                )
+                parts_s.append(np.repeat(srcs, np.diff(indptr)))
+                parts_d.append(succs)
+            esrc = np.concatenate(parts_s)
+            edst = np.concatenate(parts_d)
+        # sorted merge: block rows (tag 0) sort before equal query rows
+        # (tag 1); a query exists iff its equal-(src,dst) run contains a
+        # block row — min-tag per run, fully vectorized.
+        allsrc = np.concatenate([esrc, qs])
+        alldst = np.concatenate([edst, qd])
+        tag = np.concatenate(
+            [np.zeros(esrc.size, np.int8), np.ones(qs.size, np.int8)]
+        )
+        order = np.lexsort((tag, alldst, allsrc))
+        s_, d_, t_ = allsrc[order], alldst[order], tag[order]
+        starts = np.flatnonzero(
+            np.concatenate(
+                [[True], (s_[1:] != s_[:-1]) | (d_[1:] != d_[:-1])]
+            )
+        )
+        run_has_edge = np.minimum.reduceat(t_, starts) == 0
+        run_id = np.cumsum(
+            np.concatenate(
+                [[0], ((s_[1:] != s_[:-1]) | (d_[1:] != d_[:-1])).astype(np.int64)]
+            )
+        )
+        exists_sorted = run_has_edge[run_id] & (t_ == 1)
+        # scatter back to original query order
+        out = np.zeros(allsrc.size, dtype=bool)
+        out[order] = exists_sorted
+        return pd.DataFrame(
+            {"src": qs, "dst": qd, "exists": out[esrc.size:]}
+        )
+
+    return (
+        tagged.groupBy("block_id")
+        .cogroup(csr.blocks.groupBy("block_id"))
+        .applyInPandas(probe, schema="src long, dst long, exists boolean")
+    )
+
+
 def compression_stats(csr: CsrGraph) -> dict:
     """Compression accounting, the ``bitsperlink``/``bitspernode`` analogue
     (``BVGraph.java:2560-2581``; cnr-2000 reference point: 3.56 bits/link
