@@ -9,6 +9,29 @@ for every SQL-expressible one. Column names and types are aligned pairwise
 rounded identically on both sides so order-of-summation noise cannot flip
 the driver's value hash.
 
+The driver records at most the FIRST 50 queries() entries, so the surface is
+kept at exactly 50 by folding sibling operators into one result frame
+(round-1 name → round-2 home):
+
+- ``degree_range``            → ``subgraph`` (tag column ``which``)
+- ``cc_sizes``                → ``cc_components`` (column ``component``)
+- ``dedup_groups``            → ``dedup_exact`` (columns ``n_docs``/``fp``)
+- ``text_stats``/``langid``/``fingerprint`` → ``text_features`` (wide row)
+- ``arclist/ascii/scattered_roundtrip``     → ``text_roundtrip`` (tag ``fmt``)
+- ``events_by_type``          → ``events_windowed`` (column ``users``)
+- ``minhash_lsh``             → ``minhash_neardup`` (pairs + cluster column)
+- ``hyperball_nf``/``csr_compression``      → ``engine_stats`` (long format)
+- ``cosine_pairs``            → removed as an exposed query (unbounded
+  all-pairs join; ``cosine_topk`` keeps the exact brute baseline in bounded
+  form, ``cosine_topk_lsh`` is the scale path)
+
+New in round 2: ``diameter_radius`` (exact SumSweep on the largest SCC),
+``has_arcs`` (bulk CSR adjacency probes), ``gray_permutation``, a full
+DuckDB oracle for ``betweenness`` (unrolled Brandes), arithmetic corpus
+oracles (``corpus_invariant``/``corpus_pagerank`` — the synthesis uses a
+Lehmer-mixer both engines evaluate bit-identically), and a string-math
+oracle for ``media_features``.
+
 The canonical test graph is derived from the driver's parquet tables with
 pure ANSI logic both engines can express:
 
@@ -23,7 +46,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from webgraph_spark.algo.bfs import bfs_distances
@@ -36,16 +59,11 @@ from webgraph_spark.algo.pagerank import (
 )
 from webgraph_spark.algo.triangles import (
     triangle_count_adjacency,
-    triangle_vertices,
     triangles_per_vertex,
 )
 from webgraph_spark.functions.dedup import (
-    dedup_exact,
-    exact_duplicate_groups,
     minhash_lsh_pairs,
-    near_dup_clusters,
     ngram_jaccard_pairs,
-    simhash_pairs,
 )
 from webgraph_spark.functions.multimodal import (
     byte_histogram_features,
@@ -66,11 +84,13 @@ from webgraph_spark.algo.hyperball import hyperball
 from webgraph_spark.algo.betweenness import betweenness
 from webgraph_spark.algo.scc import strongly_connected_components
 from webgraph_spark.algo.simrank import simrank
+from webgraph_spark.algo.sumsweep import sumsweep_diameter_radius
 from webgraph_spark.operators.tools import extract_component, gap_stats
 from webgraph_spark.operators import transform as T
 from webgraph_spark.operators.labels import compose_semiring, merge_duplicate_arcs
 from webgraph_spark.operators.permutations import (
     degree_permutation,
+    gray_code_permutation,
     lexicographic_permutation,
     permute_by_key,
 )
@@ -81,17 +101,21 @@ from webgraph_spark.sources.text_formats import (
     write_arc_list,
     write_ascii_graph,
 )
-from webgraph_spark.plans.csr import build_csr, csr_to_edges
+from webgraph_spark.plans.csr import build_csr, csr_has_arcs, csr_to_edges
 from webgraph_spark.sources.corpus import (
     corpus_edges,
     corpus_nodes,
+    corpus_sql_ctes,
     synth_corpus,
-    verify_content_sha,
 )
 
 ALPHA = 0.85
 PR_ITERS = 5
 LPA_ITERS = 3
+BETW_DEPTH = 16
+CORPUS_SHAPE = dict(
+    n_repos=8, files_per_repo=40, max_imports=8, cross_repo_pct=10, seed=42
+)
 
 # ---------------------------------------------------------------------------
 # Shared Spark-side builders
@@ -115,7 +139,9 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _nodes(edges: DataFrame) -> DataFrame:
     return (
-        edges.select(F.col("src").alias("id"))
+        edges.select(F.col("id").alias("id"))
+        if "id" in edges.columns
+        else edges.select(F.col("src").alias("id"))
         .unionAll(edges.select(F.col("dst").alias("id")))
         .distinct()
     )
@@ -127,14 +153,6 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-
-
-def _dot(a, b):
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
 
 
 # ---------------------------------------------------------------------------
@@ -157,21 +175,34 @@ SYM_CTE = (
 NORM = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
 TOKS = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')"
 
+# directed SCC pairs (used by scc_components, graph_stats, diameter_radius)
+_SCC_CTES = (
+    "fr AS (SELECT id AS s, id AS d FROM nodes "
+    "UNION SELECT r.s, e.dst FROM fr r JOIN edges e ON e.src = r.d)",
+    "scc AS (SELECT a.s AS id, min(a.d) AS comp FROM fr a "
+    "JOIN fr b ON b.s = a.d AND b.d = a.s GROUP BY a.s)",
+)
+
 
 def _with(*ctes: str, select: str, recursive: bool = False) -> str:
     kw = "WITH RECURSIVE " if recursive else "WITH "
     return kw + ",\n".join(ctes) + "\n" + select
 
 
-def _pagerank_sql(iters: int) -> str:
-    """Unrolled power iteration, term-for-term the Spark update rule."""
+def _pagerank_sql(
+    iters: int,
+    prefix_ctes: tuple[str, ...] = (EDGES_CTE, NODES_CTE),
+    edges_name: str = "edges",
+    nodes_name: str = "nodes",
+) -> str:
+    """Unrolled power iteration, term-for-term the Spark update rule.
+    Parameterized over the edge/node CTEs so the corpus graph reuses it."""
     ctes = [
-        EDGES_CTE,
-        NODES_CTE,
-        "deg AS (SELECT src AS id, CAST(count(*) AS DOUBLE) AS dg "
-        "FROM edges GROUP BY src)",
-        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
-        "r0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)",
+        *prefix_ctes,
+        f"deg AS (SELECT src AS id, CAST(count(*) AS DOUBLE) AS dg "
+        f"FROM {edges_name} GROUP BY src)",
+        f"nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM {nodes_name})",
+        f"r0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM {nodes_name})",
     ]
     for k in range(iters):
         p = f"r{k}"
@@ -181,14 +212,14 @@ def _pagerank_sql(iters: int) -> str:
         )
         ctes.append(
             f"c{k} AS (SELECT e.dst AS id, sum(p.rank / deg.dg) AS contrib "
-            f"FROM edges e JOIN {p} p ON p.id = e.src "
+            f"FROM {edges_name} e JOIN {p} p ON p.id = e.src "
             f"JOIN deg ON deg.id = e.src GROUP BY e.dst)"
         )
         ctes.append(
             f"r{k + 1} AS (SELECT n.id, (1.0 - {ALPHA}) / (SELECT n FROM nn) "
             f"+ {ALPHA} * (COALESCE(c.contrib, 0.0) "
             f"+ (SELECT dm FROM d{k}) / (SELECT n FROM nn)) AS rank "
-            f"FROM nodes n LEFT JOIN c{k} c ON c.id = n.id)"
+            f"FROM {nodes_name} n LEFT JOIN c{k} c ON c.id = n.id)"
         )
     return _with(
         *ctes, select=f"SELECT id, ROUND(rank, 9) AS rank FROM r{iters}"
@@ -282,37 +313,86 @@ def _simrank_sql(iters: int, c: float = 0.8) -> str:
     )
 
 
-_CC_CTES = (
-    EDGES_CTE,
-    NODES_CTE,
-    SYM_CTE,
-    "reach AS (SELECT id, id AS comp FROM nodes "
-    "UNION SELECT e.dst AS id, r.comp FROM reach r JOIN sym e ON e.src = r.id)",
-    "comps AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id)",
-)
+def _betweenness_sql(depth: int = BETW_DEPTH) -> str:
+    """Unrolled Brandes on the src<25, dst<25 subgraph: per-level σ CTEs
+    forward, per-level δ CTEs backward (the reference differential-tests
+    betweenness the same way, ``test/.../BetweennessCentralityTest.java``).
 
-_ORIENTED_CTES = (
-    EDGES_CTE,
-    "simple AS (SELECT src, dst FROM (SELECT src, dst FROM edges "
-    "UNION SELECT dst AS src, src AS dst FROM edges) t WHERE src <> dst)",
-    "dg AS (SELECT src AS id, count(*) AS d FROM simple GROUP BY src)",
-    "und AS (SELECT src, dst FROM simple WHERE src < dst)",
-    "o AS (SELECT CASE WHEN fwd THEN src ELSE dst END AS src, "
-    "CASE WHEN fwd THEN dst ELSE src END AS dst FROM ("
-    "SELECT u.src, u.dst, (da.d < db.d OR (da.d = db.d AND u.src < u.dst)) AS fwd "
-    "FROM und u JOIN dg da ON da.id = u.src JOIN dg db ON db.id = u.dst) r)",
-    "tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c "
-    "FROM o e1 JOIN o e2 ON e1.dst = e2.src "
-    "JOIN o e3 ON e3.src = e1.src AND e3.dst = e2.dst)",
-)
+    Every CTE is MATERIALIZED: the level CTEs reference each other 2-3
+    times each, and inlining would both blow the plan up exponentially and
+    re-open the parquet once per reference (fd exhaustion)."""
+    ctes = [
+        "e25 AS MATERIALIZED (SELECT src, dst FROM (SELECT DISTINCT "
+        "l_suppkey AS src, l_partkey % 120 AS dst FROM lineitem) t "
+        "WHERE src < 25 AND dst < 25)",
+        "n25 AS MATERIALIZED (SELECT DISTINCT id FROM (SELECT src AS id "
+        "FROM e25 UNION ALL SELECT dst AS id FROM e25) t)",
+        "d0 AS MATERIALIZED (SELECT id AS s, id AS v, 1.0 AS sigma FROM n25)",
+        "vis0 AS MATERIALIZED (SELECT s, v FROM d0)",
+    ]
+    for k in range(1, depth + 1):
+        ctes.append(
+            f"d{k} AS MATERIALIZED (SELECT f.s, e.dst AS v, "
+            f"SUM(f.sigma) AS sigma "
+            f"FROM d{k - 1} f JOIN e25 e ON e.src = f.v "
+            f"WHERE NOT EXISTS (SELECT 1 FROM vis{k - 1} x "
+            f"WHERE x.s = f.s AND x.v = e.dst) GROUP BY f.s, e.dst)"
+        )
+        ctes.append(
+            f"vis{k} AS MATERIALIZED (SELECT s, v FROM vis{k - 1} "
+            f"UNION ALL SELECT s, v FROM d{k})"
+        )
+    ctes.append(
+        f"dl{depth} AS MATERIALIZED "
+        f"(SELECT s, v, sigma, 0.0 AS delta FROM d{depth})"
+    )
+    for k in range(depth - 1, 0, -1):
+        ctes.append(
+            f"dl{k} AS MATERIALIZED (SELECT f.s, f.v, f.sigma, "
+            f"COALESCE(SUM(f.sigma / w.sigma * (1.0 + w.delta)), 0.0) AS delta "
+            f"FROM d{k} f "
+            f"LEFT JOIN e25 e ON e.src = f.v "
+            f"LEFT JOIN dl{k + 1} w ON w.s = f.s AND w.v = e.dst "
+            f"GROUP BY f.s, f.v, f.sigma)"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT s, v, delta FROM dl{k}" for k in range(1, depth + 1)
+    )
+    ctes.append(f"alld AS ({union})")
+    ctes.append(
+        "betw AS (SELECT v AS id, SUM(delta) AS b FROM alld "
+        "WHERE s <> v GROUP BY v)"
+    )
+    return _with(
+        *ctes,
+        select="SELECT n.id, ROUND(COALESCE(b.b, 0.0), 6) AS betweenness "
+        "FROM n25 n LEFT JOIN betw b ON b.id = n.id",
+    )
+
+
+def _corpus_pagerank_sql(iters: int) -> str:
+    c = corpus_sql_ctes(**CORPUS_SHAPE)
+    prefix = (
+        c["idx"],
+        c["imp"],
+        c["edges"],
+        "cnodes AS (SELECT id FROM idx)",
+    )
+    return _pagerank_sql(
+        iters, prefix_ctes=prefix, edges_name="cedges", nodes_name="cnodes"
+    )
 
 
 def _stopword_sql_list(lang: str) -> str:
     return "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
 
 
-def _text_stats_sql() -> str:
+def _text_features_sql() -> str:
+    """text_stats + langid + fingerprint joined into one wide row per doc."""
     sw = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    vals = ", ".join(
+        f"('{lang}', {_stopword_sql_list(lang)})" for lang in sorted(STOPWORDS)
+    )
     return f"""
 WITH t AS (
   SELECT doc_id, text, {TOKS} AS toks,
@@ -350,39 +430,60 @@ WITH t AS (
     CASE WHEN n_tokens > 0 THEN n_stop / CAST(n_tokens AS DOUBLE)
          ELSE 0.0 END AS stopword_ratio
   FROM s
+), lid AS (
+  SELECT doc_id, CASE WHEN hits > 0 THEN lang ELSE 'und' END AS lang_pred
+  FROM (
+    SELECT doc_id, lang, hits,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY hits DESC, lang DESC) AS rn
+    FROM (
+      SELECT t.doc_id, l.lang,
+             len(list_filter(t.toks, x -> list_contains(l.sw, x))) AS hits
+      FROM t, (VALUES {vals}) AS l(lang, sw)
+    ) h
+  ) w WHERE rn = 1
+), fp AS (
+  SELECT doc_id, sha256({NORM}) AS fingerprint FROM documents
 )
-SELECT doc_id, n_chars_actual, n_tokens, bpe_tokens,
-  ROUND(avg_token_len, 6) AS avg_token_len,
-  ROUND(punct_ratio, 6) AS punct_ratio,
-  ROUND(digit_ratio, 6) AS digit_ratio,
-  ROUND(upper_ratio, 6) AS upper_ratio,
-  ROUND(stopword_ratio, 6) AS stopword_ratio,
-  ROUND(least(n_tokens / 100.0, 1.0) * 0.4
-        + (1.0 - least(punct_ratio * 4.0, 1.0)) * 0.3
-        + least(stopword_ratio * 5.0, 1.0) * 0.3, 6) AS quality_score
-FROM r
+SELECT r.doc_id, r.n_chars_actual, r.n_tokens, r.bpe_tokens,
+  ROUND(r.avg_token_len, 6) AS avg_token_len,
+  ROUND(r.punct_ratio, 6) AS punct_ratio,
+  ROUND(r.digit_ratio, 6) AS digit_ratio,
+  ROUND(r.upper_ratio, 6) AS upper_ratio,
+  ROUND(r.stopword_ratio, 6) AS stopword_ratio,
+  ROUND(least(r.n_tokens / 100.0, 1.0) * 0.4
+        + (1.0 - least(r.punct_ratio * 4.0, 1.0)) * 0.3
+        + least(r.stopword_ratio * 5.0, 1.0) * 0.3, 6) AS quality_score,
+  lid.lang_pred, fp.fingerprint
+FROM r JOIN lid ON lid.doc_id = r.doc_id JOIN fp ON fp.doc_id = r.doc_id
 """
 
 
-def _langid_sql() -> str:
-    vals = ", ".join(
-        f"('{lang}', {_stopword_sql_list(lang)})" for lang in sorted(STOPWORDS)
-    )
-    return f"""
-WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
-h AS (
-  SELECT doc_id, l.lang,
-         len(list_filter(toks, x -> list_contains(l.sw, x))) AS hits
-  FROM t, (VALUES {vals}) AS l(lang, sw)
-), w AS (
-  SELECT doc_id, lang, hits,
-         row_number() OVER (PARTITION BY doc_id
-                            ORDER BY hits DESC, lang DESC) AS rn
-  FROM h
+_CC_CTES = (
+    EDGES_CTE,
+    NODES_CTE,
+    SYM_CTE,
+    "reach AS (SELECT id, id AS comp FROM nodes "
+    "UNION SELECT e.dst AS id, r.comp FROM reach r JOIN sym e ON e.src = r.id)",
+    "comps AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id)",
 )
-SELECT doc_id, CASE WHEN hits > 0 THEN lang ELSE 'und' END AS lang_pred
-FROM w WHERE rn = 1
-"""
+
+_ORIENTED_CTES = (
+    EDGES_CTE,
+    "simple AS (SELECT src, dst FROM (SELECT src, dst FROM edges "
+    "UNION SELECT dst AS src, src AS dst FROM edges) t WHERE src <> dst)",
+    "dg AS (SELECT src AS id, count(*) AS d FROM simple GROUP BY src)",
+    "und AS (SELECT src, dst FROM simple WHERE src < dst)",
+    "o AS (SELECT CASE WHEN fwd THEN src ELSE dst END AS src, "
+    "CASE WHEN fwd THEN dst ELSE src END AS dst FROM ("
+    "SELECT u.src, u.dst, (da.d < db.d OR (da.d = db.d AND u.src < u.dst)) AS fwd "
+    "FROM und u JOIN dg da ON da.id = u.src JOIN dg db ON db.id = u.dst) r)",
+    "tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c "
+    "FROM o e1 JOIN o e2 ON e1.dst = e2.src "
+    "JOIN o e3 ON e3.src = e1.src AND e3.dst = e2.dst)",
+)
+
+_GRAY_BIG = 1 << 62
 
 
 # ---------------------------------------------------------------------------
@@ -421,13 +522,15 @@ def _q_line_graph(spark, sf_dir):
 
 
 def _q_subgraph(spark, sf_dir):
+    """ImmutableSubgraph + DegreeRangeImmutableSubgraph in one frame,
+    tagged by ``which``."""
     e = _edges(spark, sf_dir)
     keep = _nodes(e).filter((F.col("id") <= 60) & (F.col("id") % 2 == 0))
-    return T.subgraph(e, keep)
-
-
-def _q_degree_range(spark, sf_dir):
-    return T.degree_range_subgraph(_edges(spark, sf_dir), 1, 119)
+    sub = T.subgraph(e, keep).withColumn("which", F.lit("induced"))
+    rng = T.degree_range_subgraph(e, 1, 119).withColumn(
+        "which", F.lit("degree_range")
+    )
+    return sub.unionByName(rng).select("which", "src", "dst")
 
 
 def _q_map_quotient(spark, sf_dir):
@@ -447,62 +550,132 @@ def _q_union(spark, sf_dir):
     )
 
 
-def _q_graph_stats(spark, sf_dir):
+def _q_node_class_filter(spark, sf_dir):
     e = _edges(spark, sf_dir)
+    cls = _nodes(e).select("id", (F.col("id") % 7).alias("cls"))
+    return T.node_class_filter(e, cls, keep_only_same=True)
+
+
+def _q_graph_stats(spark, sf_dir):
+    """Stats.run analogue in long format (``Stats.java:65,167-258``): scalar
+    block + successor log-gap histogram + SCC size distribution."""
+    e = _edges(spark, sf_dir).persist()
     nodes = _nodes(e)
-    base = e.agg(
-        F.count(F.lit(1)).alias("arcs"),
-        F.sum(F.when(F.col("src") == F.col("dst"), 1).otherwise(0))
-        .cast("long")
-        .alias("loops"),
-    )
+
+    def one(metric, col):
+        return F.struct(F.lit(metric).alias("metric"), col.cast("double").alias("value"))
+
     od = (
         nodes.join(
-            e.groupBy(F.col("src").alias("id")).agg(
-                F.count(F.lit(1)).alias("dg")
-            ),
+            e.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("dg")),
             "id",
             "left",
-        )
-        .na.fill({"dg": 0})
-        .agg(
-            F.count(F.lit(1)).alias("n_nodes"),
-            F.min("dg").alias("min_out"),
-            F.max("dg").alias("max_out"),
-            F.round(F.avg("dg"), 6).alias("avg_out"),
-            F.sum(F.when(F.col("dg") == 0, 1).otherwise(0))
-            .cast("long")
-            .alias("dangling"),
-        )
+        ).na.fill({"dg": 0})
     )
     idg = (
         nodes.join(
-            e.groupBy(F.col("dst").alias("id")).agg(
-                F.count(F.lit(1)).alias("dg")
-            ),
+            e.groupBy(F.col("dst").alias("id")).agg(F.count(F.lit(1)).alias("dg")),
             "id",
             "left",
+        ).na.fill({"dg": 0})
+    )
+    scalars = (
+        e.agg(
+            F.count(F.lit(1)).alias("arcs"),
+            F.sum(F.when(F.col("src") == F.col("dst"), 1).otherwise(0)).alias("loops"),
         )
-        .na.fill({"dg": 0})
-        .agg(
-            F.min("dg").alias("min_in"),
-            F.max("dg").alias("max_in"),
-            F.round(F.avg("dg"), 6).alias("avg_in"),
+        .crossJoin(
+            od.agg(
+                F.count(F.lit(1)).alias("n_nodes"),
+                F.min("dg").alias("min_out"),
+                F.max("dg").alias("max_out"),
+                F.round(F.avg("dg"), 6).alias("avg_out"),
+                F.sum(F.when(F.col("dg") == 0, 1).otherwise(0)).alias("dangling"),
+            )
+        )
+        .crossJoin(
+            idg.agg(
+                F.min("dg").alias("min_in"),
+                F.max("dg").alias("max_in"),
+                F.round(F.avg("dg"), 6).alias("avg_in"),
+            )
+        )
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        one(m, F.col(m))
+                        for m in (
+                            "arcs", "loops", "n_nodes", "min_out", "max_out",
+                            "avg_out", "dangling", "min_in", "max_in", "avg_in",
+                        )
+                    ]
+                )
+            ).alias("kv")
+        )
+        .select("kv.metric", "kv.value")
+    )
+    # successor log-gap histogram: floor(log2(gap)) via binary-string length
+    # (integer-exact — no float log2 across engines)
+    w = Window.partitionBy("src").orderBy("dst")
+    gaps = (
+        e.withColumn("prev", F.lag("dst").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select((F.col("dst") - F.col("prev")).alias("gap"))
+        .select((F.length(F.bin("gap")) - 1).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.format_string("loggap_%02d", F.col("bucket").cast("int")).alias("metric"),
+            F.col("cnt").cast("double").alias("value"),
         )
     )
-    return base.crossJoin(od).crossJoin(idg)
+    sccs = (
+        strongly_connected_components(e, nodes)
+        .components.groupBy("comp")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .groupBy("sz")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.format_string("sccsize_%d", F.col("sz").cast("int")).alias("metric"),
+            F.col("cnt").cast("double").alias("value"),
+        )
+    )
+    return scalars.unionByName(gaps).unionByName(sccs)
+
+
+def _q_gap_stats(spark, sf_dir):
+    s = gap_stats(_edges(spark, sf_dir))
+    return spark.createDataFrame(
+        [(
+            round(s["avg_locality"], 6),
+            round(s["avg_gap"], 6),
+            round(s["avg_first_gap"], 6),
+        )],
+        "avg_locality double, avg_gap double, avg_first_gap double",
+    )
+
+
+def _q_check_symmetry(spark, sf_dir):
+    e = _edges(spark, sf_dir)
+    asym = e.join(T.transpose(e), ["src", "dst"], "left_anti")
+    return asym.agg(F.count(F.lit(1)).alias("asym_arcs"))
+
+
+def _q_extract_largest_cc(spark, sf_dir):
+    e = _edges(spark, sf_dir)
+    comps = hash_min_components(e, _nodes(e)).components
+    return extract_component(e, comps)
 
 
 def _q_cc(spark, sf_dir):
-    e = _edges(spark, sf_dir)
-    return hash_min_components(e, _nodes(e)).components.select("id", "comp")
-
-
-def _q_cc_sizes(spark, sf_dir):
+    """hash-min components + size renumbering in one frame
+    (``ConnectedComponents.java:69-173`` incl. ``sortBySize``)."""
     e = _edges(spark, sf_dir)
     comps = hash_min_components(e, _nodes(e)).components
-    return renumber_by_size(comps).select(
-        "id", F.col("component").cast("long").alias("component")
+    ren = renumber_by_size(comps)
+    return comps.join(ren, "id").select(
+        "id", "comp", F.col("component").cast("long").alias("component")
     )
 
 
@@ -526,6 +699,22 @@ def _q_pagerank_csr(spark, sf_dir):
     return res.ranks.select("id", F.round("rank", 9).alias("rank"))
 
 
+def _labelled(spark, sf_dir):
+    """Multi-arc labelled edges: label = quantity (duplicates expected)."""
+    return _lineitem(spark, sf_dir).select(
+        F.col("l_suppkey").cast("long").alias("src"),
+        (F.col("l_partkey") % 120).cast("long").alias("dst"),
+        F.col("l_quantity").cast("long").alias("label"),
+    )
+
+
+def _q_pagerank_weighted(spark, sf_dir):
+    lab = merge_duplicate_arcs(_labelled(spark, sf_dir), "min")
+    w = lab.select("src", "dst", F.col("label").cast("double").alias("weight"))
+    res = pagerank_weighted(w, _nodes(w), n_iter=PR_ITERS)
+    return res.ranks.select("id", F.round("rank", 9).alias("rank"))
+
+
 def _q_triangle_count(spark, sf_dir):
     n = triangle_count_adjacency(_edges(spark, sf_dir))
     return spark.createDataFrame([(n,)], "triangles long")
@@ -538,197 +727,15 @@ def _q_triangles_per_vertex(spark, sf_dir):
 def _q_bfs(spark, sf_dir):
     e = _edges(spark, sf_dir)
     src = e.agg(F.min("src").alias("id"))
-    return bfs_distances(e, src)
+    # max_depth must equal the SQL oracle's recursion cap (dist < 30)
+    return bfs_distances(e, src, max_depth=30)
 
 
-def _q_csr_roundtrip(spark, sf_dir):
-    return csr_to_edges(build_csr(_edges(spark, sf_dir), num_blocks=8).blocks)
-
-
-def _q_dedup_exact(spark, sf_dir):
-    return dedup_exact(_docs(spark, sf_dir), "doc_id", "text").select("doc_id")
-
-
-def _q_dedup_groups(spark, sf_dir):
-    return exact_duplicate_groups(_docs(spark, sf_dir), "doc_id", "text")
-
-
-def _q_ngram_jaccard(spark, sf_dir):
-    out = ngram_jaccard_pairs(
-        _docs(spark, sf_dir), "doc_id", "text", n=3, threshold=0.2
-    )
-    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
-
-
-def _q_text_stats(spark, sf_dir):
-    out = with_text_stats(_docs(spark, sf_dir), "text")
-    return out.select(
-        "doc_id",
-        F.col("n_chars_actual").cast("long").alias("n_chars_actual"),
-        F.col("n_tokens").cast("long").alias("n_tokens"),
-        bpe_token_count("text").cast("long").alias("bpe_tokens"),
-        F.round("avg_token_len", 6).alias("avg_token_len"),
-        F.round("punct_ratio", 6).alias("punct_ratio"),
-        F.round("digit_ratio", 6).alias("digit_ratio"),
-        F.round("upper_ratio", 6).alias("upper_ratio"),
-        F.round("stopword_ratio", 6).alias("stopword_ratio"),
-        F.round("quality_score", 6).alias("quality_score"),
-    )
-
-
-def _q_langid(spark, sf_dir):
-    return langid(_docs(spark, sf_dir), "text").select("doc_id", "lang_pred")
-
-
-def _q_fingerprint(spark, sf_dir):
-    return fingerprint(_docs(spark, sf_dir), "text").select(
-        "doc_id", "fingerprint"
-    )
-
-
-def _q_cosine_pairs(spark, sf_dir):
-    v = _emb(spark, sf_dir).select("vec_id", F.col("embedding").alias("e"))
-    a = v.select(F.col("vec_id").alias("id_a"), F.col("e").alias("ea"))
-    b = v.select(F.col("vec_id").alias("id_b"), F.col("e").alias("eb"))
-    scored = (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn(
-            "score",
-            _dot(F.col("ea"), F.col("eb"))
-            / (
-                F.sqrt(_dot(F.col("ea"), F.col("ea")))
-                * F.sqrt(_dot(F.col("eb"), F.col("eb")))
-            ),
-        )
-        .filter(F.col("score") >= 0.35)
-    )
-    return scored.select("id_a", "id_b", F.round("score", 6).alias("score"))
-
-
-def _q_events_by_type(spark, sf_dir):
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return ev.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.countDistinct("user_id").alias("users"),
-        F.round(F.sum("value"), 4).alias("total_value"),
-    )
-
-
-def _q_events_windowed(spark, sf_dir):
-    """Tumbling 1-day windows per event type (batch form of the streaming
-    windowed aggregate; watermarking applies on the readStream variant)."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return ev.groupBy(
-        F.date_trunc("day", F.col("ts")).alias("day"), "event_type"
-    ).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("value"), 4).alias("total_value"),
-    )
-
-
-def _labelled(spark, sf_dir):
-    """Multi-arc labelled edges: label = quantity (duplicates expected)."""
-    return _lineitem(spark, sf_dir).select(
-        F.col("l_suppkey").cast("long").alias("src"),
-        (F.col("l_partkey") % 120).cast("long").alias("dst"),
-        F.col("l_quantity").cast("long").alias("label"),
-    )
-
-
-def _q_labelled_merge(spark, sf_dir):
-    return merge_duplicate_arcs(_labelled(spark, sf_dir), "min")
-
-
-def _q_labelled_compose(spark, sf_dir):
-    lab = merge_duplicate_arcs(_labelled(spark, sf_dir), "min")
-    return compose_semiring(lab, lab)  # (min, +) semiring
-
-
-def _q_check_symmetry(spark, sf_dir):
+def _q_scc(spark, sf_dir):
     e = _edges(spark, sf_dir)
-    asym = e.join(T.transpose(e), ["src", "dst"], "left_anti")
-    return asym.agg(F.count(F.lit(1)).alias("asym_arcs"))
-
-
-def _q_node_class_filter(spark, sf_dir):
-    e = _edges(spark, sf_dir)
-    cls = _nodes(e).select("id", (F.col("id") % 7).alias("cls"))
-    return T.node_class_filter(e, cls, keep_only_same=True)
-
-
-def _q_degree_permutation(spark, sf_dir):
-    e = _edges(spark, sf_dir)
-    return degree_permutation(e, _nodes(e))
-
-
-def _q_key_permutation(spark, sf_dir):
-    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
-    attrs = sup.select(
-        F.col("s_suppkey").cast("long").alias("id"),
-        F.col("s_nationkey").cast("long").alias("nation"),
+    return strongly_connected_components(e, _nodes(e)).components.select(
+        "id", "comp"
     )
-    return permute_by_key(attrs, ["nation"])
-
-
-def _q_lex_permutation(spark, sf_dir):
-    e = _edges(spark, sf_dir)
-    return lexicographic_permutation(e, _nodes(e))
-
-
-def _q_host_map(spark, sf_dir):
-    docs = _docs(spark, sf_dir)
-    return docs.groupBy(F.col("source").alias("host")).agg(
-        F.count(F.lit(1)).alias("n_docs")
-    )
-
-
-def _q_arclist_roundtrip(spark, sf_dir):
-    import tempfile
-
-    e = _edges(spark, sf_dir)
-    out = tempfile.mkdtemp(prefix="wg_arclist_") + "/arcs"
-    write_arc_list(e, out)
-    return read_arc_list(spark, out)
-
-
-def _q_ascii_roundtrip(spark, sf_dir):
-    import tempfile
-
-    e = _edges(spark, sf_dir)
-    n = 120  # dst range is [0, 120); suppkeys lie inside it
-    out = tempfile.mkdtemp(prefix="wg_ascii_") + "/g.graph-txt"
-    write_ascii_graph(e, out, num_nodes=n)
-    _, back = read_ascii_graph(spark, out)
-    return back
-
-
-def _q_scattered_roundtrip(spark, sf_dir):
-    """Shift node ids into a scattered key space, ingest, and get back the
-    dense-rank remap — oracle = dense_rank over the node ids."""
-    import tempfile
-
-    e = _edges(spark, sf_dir)
-    out = tempfile.mkdtemp(prefix="wg_scat_") + "/arcs"
-    write_arc_list(
-        e.select(
-            (F.col("src") + 1_000_000).alias("src"),
-            (F.col("dst") + 1_000_000).alias("dst"),
-        ),
-        out,
-    )
-    _, edges = read_scattered_arcs(spark, out)
-    return edges
-
-
-# -- rows-only (non-SQL-expressible: hash-seeded LSH / synthetic corpus /
-#    Arrow plumbing); the driver records a weaker rows-only check -----------
-
-
-def _q_pagerank_weighted(spark, sf_dir):
-    lab = merge_duplicate_arcs(_labelled(spark, sf_dir), "min")
-    w = lab.select("src", "dst", F.col("label").cast("double").alias("weight"))
-    res = pagerank_weighted(w, _nodes(w), n_iter=PR_ITERS)
-    return res.ranks.select("id", F.round("rank", 9).alias("rank"))
 
 
 def _q_simrank(spark, sf_dir):
@@ -751,70 +758,174 @@ def _q_geometric(spark, sf_dir):
     )
 
 
-def _q_scc(spark, sf_dir):
-    e = _edges(spark, sf_dir)
-    return strongly_connected_components(e, _nodes(e)).components.select(
-        "id", "comp"
-    )
-
-
-def _q_extract_largest_cc(spark, sf_dir):
-    e = _edges(spark, sf_dir)
-    comps = hash_min_components(e, _nodes(e)).components
-    return extract_component(e, comps)
-
-
-def _q_gap_stats(spark, sf_dir):
-    s = gap_stats(_edges(spark, sf_dir))
-    return spark.createDataFrame(
-        [(
-            round(s["avg_locality"], 6),
-            round(s["avg_gap"], 6),
-            round(s["avg_first_gap"], 6),
-        )],
-        "avg_locality double, avg_gap double, avg_first_gap double",
-    )
-
-
-def _q_csr_compression(spark, sf_dir):
-    from webgraph_spark.plans.csr import compression_stats
-
-    s = compression_stats(build_csr(_edges(spark, sf_dir), num_blocks=8))
-    return spark.createDataFrame(
-        [(s["succ_bytes"], s["edges"], s["rows"], s["blocks"],
-          s["bits_per_link"])],
-        "succ_bytes long, edges long, rows long, blocks long, "
-        "bits_per_link double",
-    )
-
-
 def _q_betweenness(spark, sf_dir):
     e = _edges(spark, sf_dir).filter((F.col("src") < 25) & (F.col("dst") < 25))
-    out = betweenness(e)
+    out = betweenness(e, max_depth=BETW_DEPTH)
     return out.select("id", F.round("betweenness", 6).alias("betweenness"))
 
 
-def _q_hyperball_nf(spark, sf_dir):
-    e = _edges(spark, sf_dir).filter(F.col("dst") < 30)
-    nodes = _nodes(e)
-    res = hyperball(e, nodes, log2m=5, max_iter=16)
+def _q_diameter_radius(spark, sf_dir):
+    """Exact SumSweep on the largest SCC (the reference's effective regime —
+    ``SumSweepDirectedDiameterRadius.java:137``)."""
+    e = _edges(spark, sf_dir)
+    comps = strongly_connected_components(e, _nodes(e)).components
+    top = (
+        comps.groupBy("comp")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .orderBy(F.desc("sz"), F.asc("comp"))
+        .limit(1)
+    )
+    keep = comps.join(top.select("comp"), "comp").select("id")
+    sub = T.subgraph(e, keep)
+    res = sumsweep_diameter_radius(sub, keep)
     return spark.createDataFrame(
-        [(t, round(v, 3)) for t, v in enumerate(res.nf)], "t long, nf double"
+        [(res.diameter, res.radius)], "diameter long, radius long"
     )
 
 
-def _q_minhash_lsh(spark, sf_dir):
-    return minhash_lsh_pairs(
-        _docs(spark, sf_dir), "doc_id", "text", n=3,
-        num_hashes=64, bands=16, threshold=0.2,
-    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+def _q_has_arcs(spark, sf_dir):
+    """Bulk adjacency probes against the CSR blocks (EFGraph ``skipTo``)."""
+    e = _edges(spark, sf_dir)
+    csr = build_csr(e, num_blocks=8)
+    probes = (
+        _lineitem(spark, sf_dir)
+        .select(
+            F.col("l_suppkey").cast("long").alias("src"),
+            ((F.col("l_partkey") * 7 + 3) % 120).cast("long").alias("dst"),
+        )
+        .distinct()
+    )
+    return csr_has_arcs(csr, probes)
 
 
-def _q_near_dup_clusters(spark, sf_dir):
-    return near_dup_clusters(_docs(spark, sf_dir), threshold=0.2)
+def _q_csr_roundtrip(spark, sf_dir):
+    return csr_to_edges(build_csr(_edges(spark, sf_dir), num_blocks=8).blocks)
+
+
+def _q_text_roundtrip(spark, sf_dir):
+    """Arc-list + .graph-txt + scattered-arc ingestion round-trips in one
+    frame, tagged by ``fmt`` (ArcListASCIIGraph / ASCIIGraph /
+    ScatteredArcsASCIIGraph)."""
+    import tempfile
+
+    e = _edges(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="wg_rt_")
+
+    write_arc_list(e, base + "/arcs")
+    arclist = read_arc_list(spark, base + "/arcs").withColumn(
+        "fmt", F.lit("arclist")
+    )
+
+    write_ascii_graph(e, base + "/g.graph-txt", num_nodes=120)
+    _, ascii_back = read_ascii_graph(spark, base + "/g.graph-txt")
+    ascii_back = ascii_back.withColumn("fmt", F.lit("ascii"))
+
+    write_arc_list(
+        e.select(
+            (F.col("src") + 1_000_000).alias("src"),
+            (F.col("dst") + 1_000_000).alias("dst"),
+        ),
+        base + "/scat",
+    )
+    _, scat = read_scattered_arcs(spark, base + "/scat")
+    scat = scat.withColumn("fmt", F.lit("scattered"))
+
+    return (
+        arclist.unionByName(ascii_back)
+        .unionByName(scat)
+        .select("fmt", "src", "dst")
+    )
+
+
+def _q_labelled_merge(spark, sf_dir):
+    return merge_duplicate_arcs(_labelled(spark, sf_dir), "min")
+
+
+def _q_labelled_compose(spark, sf_dir):
+    lab = merge_duplicate_arcs(_labelled(spark, sf_dir), "min")
+    return compose_semiring(lab, lab)  # (min, +) semiring
+
+
+def _q_host_map(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return docs.groupBy(F.col("source").alias("host")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+def _q_degree_permutation(spark, sf_dir):
+    e = _edges(spark, sf_dir)
+    return degree_permutation(e, _nodes(e))
+
+
+def _q_key_permutation(spark, sf_dir):
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    attrs = sup.select(
+        F.col("s_suppkey").cast("long").alias("id"),
+        F.col("s_nationkey").cast("long").alias("nation"),
+    )
+    return permute_by_key(attrs, ["nation"])
+
+
+def _q_lex_permutation(spark, sf_dir):
+    e = _edges(spark, sf_dir)
+    return lexicographic_permutation(e, _nodes(e))
+
+
+def _q_gray_permutation(spark, sf_dir):
+    e = _edges(spark, sf_dir)
+    return gray_code_permutation(e, _nodes(e))
+
+
+def _q_dedup_exact(spark, sf_dir):
+    """Exact dedup + duplicate-group accounting in one frame: one row per
+    normalized-content group, keeper = min doc id."""
+    docs = _docs(spark, sf_dir)
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    return (
+        docs.select("doc_id", F.sha2(norm, 256).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .select("doc_id", "n_docs", "fp")
+    )
+
+
+def _q_ngram_jaccard(spark, sf_dir):
+    out = ngram_jaccard_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", n=3, threshold=0.2
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _q_minhash_neardup(spark, sf_dir):
+    """MinHash-LSH verified pairs + transitive near-dup cluster ids in one
+    frame (pair finder composed with the hash-min CC kernel)."""
+    from webgraph_spark.algo.components import hash_min_components
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=64, bands=16, threshold=0.2
+    ).persist()
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    comps = hash_min_components(
+        edges, docs.select(F.col("doc_id").alias("id"))
+    ).components
+    return (
+        pairs.join(comps, pairs["id_a"] == comps["id"])
+        .select(
+            "id_a", "id_b",
+            F.round("jaccard", 6).alias("jaccard"),
+            F.col("comp").alias("cluster"),
+        )
+    )
 
 
 def _q_simhash(spark, sf_dir):
+    from webgraph_spark.functions.dedup import simhash_pairs
+
     return simhash_pairs(_docs(spark, sf_dir), "doc_id", "text", max_hamming=8)
 
 
@@ -823,7 +934,10 @@ def _q_cosine_topk(spark, sf_dir):
     q = emb.filter(F.col("vec_id") < 8)
     out = cosine_topk(emb, q, k=5)
     return out.select(
-        "query_id", "neighbor_id", F.round("score", 6).alias("score"), "rn"
+        "query_id",
+        "neighbor_id",
+        F.round("score", 6).alias("score"),
+        F.col("rn").cast("long").alias("rn"),
     )
 
 
@@ -832,21 +946,87 @@ def _q_cosine_topk_lsh(spark, sf_dir):
     q = emb.filter(F.col("vec_id") < 8)
     out = cosine_topk_lsh(emb, q, dim=64, k=5)
     return out.select(
-        "query_id", "neighbor_id", F.round("score", 6).alias("score"), "rn"
+        "query_id",
+        "neighbor_id",
+        F.round("score", 6).alias("score"),
+        F.col("rn").cast("long").alias("rn"),
     )
 
 
+def _q_text_features(spark, sf_dir):
+    """text stats + quality + language id + fingerprint, one wide row/doc."""
+    docs = _docs(spark, sf_dir)
+    stats = with_text_stats(docs, "text").select(
+        "doc_id",
+        F.col("n_chars_actual").cast("long").alias("n_chars_actual"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        bpe_token_count("text").cast("long").alias("bpe_tokens"),
+        F.round("avg_token_len", 6).alias("avg_token_len"),
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("digit_ratio", 6).alias("digit_ratio"),
+        F.round("upper_ratio", 6).alias("upper_ratio"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        F.round("quality_score", 6).alias("quality_score"),
+    )
+    lid = langid(docs, "text").select("doc_id", "lang_pred")
+    fp = fingerprint(docs, "text").select("doc_id", "fingerprint")
+    return stats.join(lid, "doc_id").join(fp, "doc_id")
+
+
+def _q_events_windowed(spark, sf_dir):
+    """Tumbling 1-day windows per event type (batch form of the streaming
+    windowed aggregate; watermarking applies on the readStream variant)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("users"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+
+
+def _q_engine_stats(spark, sf_dir):
+    """HyperBall NF + CSR compression accounting, long format (rows-only:
+    HLL registers are hash-seeded, compression bytes are codec-internal)."""
+    from webgraph_spark.plans.csr import compression_stats
+
+    e = _edges(spark, sf_dir)
+    res = hyperball(e.filter(F.col("dst") < 30), _nodes(e.filter(F.col("dst") < 30)),
+                    log2m=5, max_iter=16)
+    rows = [(f"nf_{t}", round(v, 3)) for t, v in enumerate(res.nf)]
+    s = compression_stats(build_csr(e, num_blocks=8))
+    rows += [
+        ("succ_bytes", float(s["succ_bytes"])),
+        ("edges", float(s["edges"])),
+        ("rows", float(s["rows"])),
+        ("blocks", float(s["blocks"])),
+        ("bits_per_link", s["bits_per_link"]),
+    ]
+    return spark.createDataFrame(rows, "metric string, value double")
+
+
 def _q_corpus_invariant(spark, sf_dir):
-    corpus = synth_corpus(spark, n_repos=8, files_per_repo=40).persist()
-    violations = verify_content_sha(corpus)
-    rows = corpus.count()
+    """Synthesized corpus shape + sha256 content invariant + content
+    checksums — the DuckDB oracle REGENERATES the corpus arithmetically and
+    must reproduce the same min/max content hashes."""
+    corpus = synth_corpus(spark, **CORPUS_SHAPE).persist()
+    viol = corpus.filter(
+        F.sha2(F.col("content"), 256) != F.col("content_sha")
+    ).count()
+    agg = corpus.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.min("content_sha").alias("mn"),
+        F.max("content_sha").alias("mx"),
+    ).collect()[0]
     return spark.createDataFrame(
-        [(rows, violations)], "corpus_rows long, sha_violations long"
+        [(int(agg["rows"]), int(viol), agg["mn"], agg["mx"])],
+        "corpus_rows long, sha_violations long, min_sha string, max_sha string",
     )
 
 
 def _q_corpus_pagerank(spark, sf_dir):
-    corpus = synth_corpus(spark, n_repos=8, files_per_repo=40)
+    corpus = synth_corpus(spark, **CORPUS_SHAPE)
     nodes = corpus_nodes(corpus)
     edges = corpus_edges(corpus, nodes, no_loops=True)
     csr = build_csr(edges, num_blocks=8)
@@ -883,55 +1063,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compose": _q_compose,
         "line_graph": _q_line_graph,
         "subgraph": _q_subgraph,
-        "degree_range": _q_degree_range,
         "map_quotient": _q_map_quotient,
         "remove_dangling": _q_remove_dangling,
         "union_graphs": _q_union,
+        "node_class_filter": _q_node_class_filter,
         "graph_stats": _q_graph_stats,
+        "gap_stats": _q_gap_stats,
+        "check_symmetry": _q_check_symmetry,
+        "extract_largest_cc": _q_extract_largest_cc,
         "cc_components": _q_cc,
-        "cc_sizes": _q_cc_sizes,
         "labelprop": _q_labelprop,
         "pagerank_edges": _q_pagerank_edges,
         "pagerank_csr": _q_pagerank_csr,
+        "pagerank_weighted": _q_pagerank_weighted,
         "triangle_count": _q_triangle_count,
         "triangles_per_vertex": _q_triangles_per_vertex,
         "bfs_distances": _q_bfs,
+        "scc_components": _q_scc,
+        "simrank": _q_simrank,
+        "geometric_centralities": _q_geometric,
+        "betweenness": _q_betweenness,
+        "diameter_radius": _q_diameter_radius,
+        "has_arcs": _q_has_arcs,
         "csr_roundtrip": _q_csr_roundtrip,
-        "dedup_exact": _q_dedup_exact,
-        "dedup_groups": _q_dedup_groups,
-        "ngram_jaccard": _q_ngram_jaccard,
-        "text_stats": _q_text_stats,
-        "langid": _q_langid,
-        "fingerprint": _q_fingerprint,
-        "cosine_pairs": _q_cosine_pairs,
-        "events_by_type": _q_events_by_type,
-        "events_windowed": _q_events_windowed,
+        "text_roundtrip": _q_text_roundtrip,
         "labelled_merge": _q_labelled_merge,
         "labelled_compose": _q_labelled_compose,
-        "check_symmetry": _q_check_symmetry,
-        "node_class_filter": _q_node_class_filter,
+        "host_map": _q_host_map,
         "degree_permutation": _q_degree_permutation,
         "key_permutation": _q_key_permutation,
         "lex_permutation": _q_lex_permutation,
-        "host_map": _q_host_map,
-        "arclist_roundtrip": _q_arclist_roundtrip,
-        "ascii_roundtrip": _q_ascii_roundtrip,
-        "scattered_roundtrip": _q_scattered_roundtrip,
-        "scc_components": _q_scc,
-        "pagerank_weighted": _q_pagerank_weighted,
-        "simrank": _q_simrank,
-        "geometric_centralities": _q_geometric,
-        "extract_largest_cc": _q_extract_largest_cc,
-        "gap_stats": _q_gap_stats,
-        # rows-only (no SQL oracle)
-        "betweenness": _q_betweenness,
-        "hyperball_nf": _q_hyperball_nf,
-        "csr_compression": _q_csr_compression,
-        "minhash_lsh": _q_minhash_lsh,
-        "near_dup_clusters": _q_near_dup_clusters,
+        "gray_permutation": _q_gray_permutation,
+        "dedup_exact": _q_dedup_exact,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "minhash_neardup": _q_minhash_neardup,
         "simhash": _q_simhash,
         "cosine_topk": _q_cosine_topk,
         "cosine_topk_lsh": _q_cosine_topk_lsh,
+        "text_features": _q_text_features,
+        "events_windowed": _q_events_windowed,
+        "engine_stats": _q_engine_stats,
         "corpus_invariant": _q_corpus_invariant,
         "corpus_pagerank": _q_corpus_pagerank,
         "media_features": _q_media_features,
@@ -939,7 +1110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    sw_en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    corpus_ctes = corpus_sql_ctes(**CORPUS_SHAPE)
     return {
         "degrees": _with(
             EDGES_CTE,
@@ -978,19 +1149,15 @@ def oracle_sql() -> dict[str, str]:
             EDGES_CTE,
             NODES_CTE,
             "keep AS (SELECT id FROM nodes WHERE id <= 60 AND id % 2 = 0)",
-            select="SELECT src, dst FROM edges "
-            "WHERE src IN (SELECT id FROM keep) "
-            "AND dst IN (SELECT id FROM keep)",
-        ),
-        "degree_range": _with(
-            EDGES_CTE,
-            NODES_CTE,
             "od AS (SELECT src AS id, count(*) AS dg FROM edges GROUP BY src)",
-            "keep AS (SELECT n.id FROM nodes n LEFT JOIN od o ON o.id = n.id "
+            "dr AS (SELECT n.id FROM nodes n LEFT JOIN od o ON o.id = n.id "
             "WHERE COALESCE(o.dg, 0) >= 1 AND COALESCE(o.dg, 0) < 119)",
-            select="SELECT src, dst FROM edges "
+            select="SELECT 'induced' AS which, src, dst FROM edges "
             "WHERE src IN (SELECT id FROM keep) "
-            "AND dst IN (SELECT id FROM keep)",
+            "AND dst IN (SELECT id FROM keep) "
+            "UNION ALL "
+            "SELECT 'degree_range' AS which, src, dst FROM edges "
+            "WHERE src IN (SELECT id FROM dr) AND dst IN (SELECT id FROM dr)",
         ),
         "map_quotient": _with(
             EDGES_CTE,
@@ -1008,6 +1175,10 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT dst AS src, src AS dst FROM edges "
             "WHERE dst >= 100) t",
         ),
+        "node_class_filter": _with(
+            EDGES_CTE,
+            select="SELECT src, dst FROM edges WHERE src % 7 = dst % 7",
+        ),
         "graph_stats": _with(
             EDGES_CTE,
             NODES_CTE,
@@ -1017,36 +1188,73 @@ def oracle_sql() -> dict[str, str]:
             "idg AS (SELECT n.id, COALESCE(i.dg, 0) AS dg FROM nodes n "
             "LEFT JOIN (SELECT dst AS id, count(*) AS dg FROM edges "
             "GROUP BY dst) i ON i.id = n.id)",
-            select="SELECT "
-            "(SELECT count(*) FROM edges) AS arcs, "
-            "(SELECT CAST(COALESCE(sum(CASE WHEN src = dst THEN 1 ELSE 0 END), 0)"
-            " AS BIGINT) FROM edges) AS loops, "
-            "(SELECT count(*) FROM nodes) AS n_nodes, "
-            "(SELECT min(dg) FROM od) AS min_out, "
-            "(SELECT max(dg) FROM od) AS max_out, "
-            "(SELECT ROUND(avg(dg), 6) FROM od) AS avg_out, "
-            "(SELECT CAST(sum(CASE WHEN dg = 0 THEN 1 ELSE 0 END) AS BIGINT) "
-            "FROM od) AS dangling, "
-            "(SELECT min(dg) FROM idg) AS min_in, "
-            "(SELECT max(dg) FROM idg) AS max_in, "
-            "(SELECT ROUND(avg(dg), 6) FROM idg) AS avg_in",
+            *_SCC_CTES,
+            "gaps AS (SELECT length(printf('%b', gap)) - 1 AS bucket FROM ("
+            "SELECT dst - lag(dst) OVER (PARTITION BY src ORDER BY dst) AS gap "
+            "FROM edges) t WHERE gap IS NOT NULL)",
+            select="""
+SELECT metric, value FROM (
+  SELECT 'arcs' AS metric, CAST((SELECT count(*) FROM edges) AS DOUBLE) AS value
+  UNION ALL SELECT 'loops', CAST((SELECT COALESCE(sum(CASE WHEN src = dst
+    THEN 1 ELSE 0 END), 0) FROM edges) AS DOUBLE)
+  UNION ALL SELECT 'n_nodes', CAST((SELECT count(*) FROM nodes) AS DOUBLE)
+  UNION ALL SELECT 'min_out', CAST((SELECT min(dg) FROM od) AS DOUBLE)
+  UNION ALL SELECT 'max_out', CAST((SELECT max(dg) FROM od) AS DOUBLE)
+  UNION ALL SELECT 'avg_out', (SELECT ROUND(avg(dg), 6) FROM od)
+  UNION ALL SELECT 'dangling', CAST((SELECT sum(CASE WHEN dg = 0 THEN 1
+    ELSE 0 END) FROM od) AS DOUBLE)
+  UNION ALL SELECT 'min_in', CAST((SELECT min(dg) FROM idg) AS DOUBLE)
+  UNION ALL SELECT 'max_in', CAST((SELECT max(dg) FROM idg) AS DOUBLE)
+  UNION ALL SELECT 'avg_in', (SELECT ROUND(avg(dg), 6) FROM idg)
+  UNION ALL SELECT printf('loggap_%02d', bucket),
+    CAST(count(*) AS DOUBLE) FROM gaps GROUP BY bucket
+  UNION ALL SELECT printf('sccsize_%d', sz), CAST(count(*) AS DOUBLE) FROM (
+    SELECT comp, count(*) AS sz FROM scc GROUP BY comp) g GROUP BY sz
+) u""",
+            recursive=True,
+        ),
+        "gap_stats": _with(
+            EDGES_CTE,
+            "loc AS (SELECT avg(abs(dst - src)) AS avg_locality FROM edges)",
+            "per AS (SELECT src, min(dst) AS mn, max(dst) AS mx, "
+            "count(*) AS c FROM edges GROUP BY src)",
+            "g AS (SELECT avg(abs(mn - src)) AS avg_first_gap, "
+            "avg(CASE WHEN c > 1 THEN (mx - mn) / CAST(c - 1 AS DOUBLE) END) "
+            "AS avg_gap FROM per)",
+            select="SELECT ROUND((SELECT avg_locality FROM loc), 6) "
+            "AS avg_locality, ROUND(avg_gap, 6) AS avg_gap, "
+            "ROUND(avg_first_gap, 6) AS avg_first_gap FROM g",
+        ),
+        "check_symmetry": _with(
+            EDGES_CTE,
+            select="SELECT count(*) AS asym_arcs FROM edges e "
+            "WHERE NOT EXISTS (SELECT 1 FROM edges r "
+            "WHERE r.src = e.dst AND r.dst = e.src)",
+        ),
+        "extract_largest_cc": _with(
+            *_CC_CTES,
+            "sizes AS (SELECT comp, count(*) AS sz FROM comps GROUP BY comp)",
+            "top AS (SELECT comp FROM sizes ORDER BY sz DESC, comp ASC LIMIT 1)",
+            "keep AS (SELECT id FROM comps WHERE comp = (SELECT comp FROM top))",
+            select="SELECT src, dst FROM edges "
+            "WHERE src IN (SELECT id FROM keep) "
+            "AND dst IN (SELECT id FROM keep)",
+            recursive=True,
         ),
         "cc_components": _with(
-            *_CC_CTES, select="SELECT id, comp FROM comps", recursive=True
-        ),
-        "cc_sizes": _with(
             *_CC_CTES,
             "sizes AS (SELECT comp, count(*) AS sz FROM comps GROUP BY comp)",
             "mapping AS (SELECT comp, CAST(row_number() OVER "
             "(ORDER BY sz DESC, comp ASC) - 1 AS BIGINT) AS component "
             "FROM sizes)",
-            select="SELECT c.id, m.component FROM comps c "
+            select="SELECT c.id, c.comp, m.component FROM comps c "
             "JOIN mapping m ON m.comp = c.comp",
             recursive=True,
         ),
         "labelprop": _lpa_sql(LPA_ITERS),
         "pagerank_edges": _pagerank_sql(PR_ITERS),
         "pagerank_csr": _pagerank_sql(PR_ITERS),
+        "pagerank_weighted": _pagerank_weighted_sql(PR_ITERS),
         "triangle_count": _with(
             *_ORIENTED_CTES, select="SELECT count(*) AS triangles FROM tri"
         ),
@@ -1065,114 +1273,13 @@ def oracle_sql() -> dict[str, str]:
             "FROM walk GROUP BY id",
             recursive=True,
         ),
-        "csr_roundtrip": _with(EDGES_CTE, select="SELECT src, dst FROM edges"),
-        "dedup_exact": f"SELECT min(doc_id) AS doc_id FROM documents "
-        f"GROUP BY {NORM}",
-        "dedup_groups": f"SELECT sha256({NORM}) AS fp, count(*) AS n_docs, "
-        f"min(doc_id) AS keeper FROM documents GROUP BY {NORM} "
-        f"HAVING count(*) > 1",
-        "ngram_jaccard": f"""
-WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
-sh AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(toks) >= 3
-  THEN list_transform(generate_series(1, len(toks) - 2),
-       i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
-  ELSE [array_to_string(toks, ' ')] END) AS g FROM t),
-sz AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
-inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
-  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
-SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM (
-  SELECT id_a, id_b, i / CAST(sa.c + sb.c - i AS DOUBLE) AS j
-  FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b) p
-WHERE j >= 0.2
-""",
-        "text_stats": _text_stats_sql(),
-        "langid": _langid_sql(),
-        "fingerprint": f"SELECT doc_id, sha256({NORM}) AS fingerprint "
-        f"FROM documents",
-        "cosine_pairs": """
-WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-  list_dot_product(a.e, b.e)
-    / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
-    AS score
-  FROM v a JOIN v b ON a.vec_id < b.vec_id)
-SELECT id_a, id_b, ROUND(score, 6) AS score FROM p WHERE score >= 0.35
-""",
-        "events_by_type": "SELECT event_type, count(*) AS n, "
-        "count(DISTINCT user_id) AS users, "
-        "ROUND(sum(value), 4) AS total_value FROM events GROUP BY event_type",
-        "events_windowed": "SELECT date_trunc('day', ts) AS day, event_type, "
-        "count(*) AS n, ROUND(sum(value), 4) AS total_value "
-        "FROM events GROUP BY 1, 2",
-        "labelled_merge": "SELECT l_suppkey AS src, l_partkey % 120 AS dst, "
-        "min(CAST(floor(l_quantity) AS BIGINT)) AS label "
-        "FROM lineitem GROUP BY 1, 2",
-        "labelled_compose": _with(
-            "lab AS (SELECT l_suppkey AS src, l_partkey % 120 AS dst, "
-            "min(CAST(floor(l_quantity) AS BIGINT)) AS label "
-            "FROM lineitem GROUP BY 1, 2)",
-            select="SELECT a.src, b.dst, min(a.label + b.label) AS label "
-            "FROM lab a JOIN lab b ON a.dst = b.src GROUP BY a.src, b.dst",
-        ),
-        "check_symmetry": _with(
-            EDGES_CTE,
-            select="SELECT count(*) AS asym_arcs FROM edges e "
-            "WHERE NOT EXISTS (SELECT 1 FROM edges r "
-            "WHERE r.src = e.dst AND r.dst = e.src)",
-        ),
-        "node_class_filter": _with(
-            EDGES_CTE,
-            select="SELECT src, dst FROM edges WHERE src % 7 = dst % 7",
-        ),
-        "degree_permutation": _with(
-            EDGES_CTE,
-            NODES_CTE,
-            "od AS (SELECT n.id, COALESCE(o.dg, 0) AS dg FROM nodes n "
-            "LEFT JOIN (SELECT src AS id, count(*) AS dg FROM edges "
-            "GROUP BY src) o ON o.id = n.id)",
-            select="SELECT id, CAST(row_number() OVER "
-            "(ORDER BY dg DESC, id ASC) - 1 AS BIGINT) AS new_id FROM od",
-        ),
-        "key_permutation": "SELECT CAST(s_suppkey AS BIGINT) AS id, "
-        "CAST(row_number() OVER (ORDER BY CAST(s_nationkey AS BIGINT) ASC, "
-        "s_suppkey ASC) - 1 AS BIGINT) AS new_id FROM supplier",
-        "lex_permutation": _with(
-            EDGES_CTE,
-            NODES_CTE,
-            "succ AS (SELECT src AS id, "
-            "string_agg(printf('%019d', dst), ',' ORDER BY dst) AS k "
-            "FROM edges GROUP BY src)",
-            "keyed AS (SELECT n.id, COALESCE(s.k, '') AS k "
-            "FROM nodes n LEFT JOIN succ s ON s.id = n.id)",
-            select="SELECT id, CAST(row_number() OVER "
-            "(ORDER BY k ASC, id ASC) - 1 AS BIGINT) AS new_id FROM keyed",
-        ),
-        "host_map": "SELECT source AS host, count(*) AS n_docs "
-        "FROM documents GROUP BY source",
-        "arclist_roundtrip": _with(
-            EDGES_CTE, select="SELECT src, dst FROM edges"
-        ),
-        "ascii_roundtrip": _with(
-            EDGES_CTE, select="SELECT src, dst FROM edges"
-        ),
-        "scattered_roundtrip": _with(
-            EDGES_CTE,
-            NODES_CTE,
-            "m AS (SELECT id, CAST(row_number() OVER (ORDER BY id) - 1 "
-            "AS BIGINT) AS nid FROM nodes)",
-            select="SELECT ms.nid AS src, md.nid AS dst FROM edges e "
-            "JOIN m ms ON ms.id = e.src JOIN m md ON md.id = e.dst",
-        ),
         "scc_components": _with(
             EDGES_CTE,
             NODES_CTE,
-            "fr AS (SELECT id AS s, id AS d FROM nodes "
-            "UNION SELECT r.s, e.dst FROM fr r JOIN edges e ON e.src = r.d)",
-            select="SELECT a.s AS id, min(a.d) AS comp FROM fr a "
-            "JOIN fr b ON b.s = a.d AND b.d = a.s GROUP BY a.s",
+            *_SCC_CTES,
+            select="SELECT id, comp FROM scc",
             recursive=True,
         ),
-        "pagerank_weighted": _pagerank_weighted_sql(PR_ITERS),
         "simrank": _simrank_sql(3),
         "geometric_centralities": _with(
             "edges AS (SELECT src, dst FROM (SELECT DISTINCT l_suppkey AS src, "
@@ -1199,26 +1306,150 @@ SELECT id_a, id_b, ROUND(score, 6) AS score FROM p WHERE score >= 0.35
             "FROM nodes n LEFT JOIN a ON a.id = n.id",
             recursive=True,
         ),
-        "extract_largest_cc": _with(
-            *_CC_CTES,
-            "sizes AS (SELECT comp, count(*) AS sz FROM comps GROUP BY comp)",
+        "betweenness": _betweenness_sql(BETW_DEPTH),
+        "diameter_radius": _with(
+            EDGES_CTE,
+            NODES_CTE,
+            *_SCC_CTES,
+            "sizes AS (SELECT comp, count(*) AS sz FROM scc GROUP BY comp)",
             "top AS (SELECT comp FROM sizes ORDER BY sz DESC, comp ASC LIMIT 1)",
-            "keep AS (SELECT id FROM comps WHERE comp = (SELECT comp FROM top))",
-            select="SELECT src, dst FROM edges "
-            "WHERE src IN (SELECT id FROM keep) "
-            "AND dst IN (SELECT id FROM keep)",
+            "sub AS (SELECT id FROM scc WHERE comp = (SELECT comp FROM top))",
+            "se AS (SELECT src, dst FROM edges "
+            "WHERE src IN (SELECT id FROM sub) AND dst IN (SELECT id FROM sub))",
+            "walk AS (SELECT id AS s, id AS v, 0 AS dist FROM sub "
+            "UNION SELECT w.s, e.dst AS v, w.dist + 1 FROM walk w "
+            "JOIN se e ON e.src = w.v WHERE w.dist < 200)",
+            "pairs AS (SELECT s, v, min(dist) AS d FROM walk GROUP BY s, v)",
+            "ecc AS (SELECT s, max(d) AS e FROM pairs GROUP BY s)",
+            select="SELECT CAST(max(e) AS BIGINT) AS diameter, "
+            "CAST(min(e) AS BIGINT) AS radius FROM ecc",
             recursive=True,
         ),
-        "gap_stats": _with(
+        "has_arcs": _with(
             EDGES_CTE,
-            "loc AS (SELECT avg(abs(dst - src)) AS avg_locality FROM edges)",
-            "per AS (SELECT src, min(dst) AS mn, max(dst) AS mx, "
-            "count(*) AS c FROM edges GROUP BY src)",
-            "g AS (SELECT avg(abs(mn - src)) AS avg_first_gap, "
-            "avg(CASE WHEN c > 1 THEN (mx - mn) / CAST(c - 1 AS DOUBLE) END) "
-            "AS avg_gap FROM per)",
-            select="SELECT ROUND((SELECT avg_locality FROM loc), 6) "
-            "AS avg_locality, ROUND(avg_gap, 6) AS avg_gap, "
-            "ROUND(avg_first_gap, 6) AS avg_first_gap FROM g",
+            "probes AS (SELECT DISTINCT l_suppkey AS src, "
+            "(l_partkey * 7 + 3) % 120 AS dst FROM lineitem)",
+            select="SELECT p.src, p.dst, EXISTS (SELECT 1 FROM edges e "
+            "WHERE e.src = p.src AND e.dst = p.dst) AS exists FROM probes p",
         ),
+        "csr_roundtrip": _with(EDGES_CTE, select="SELECT src, dst FROM edges"),
+        "text_roundtrip": _with(
+            EDGES_CTE,
+            NODES_CTE,
+            "m AS (SELECT id, CAST(row_number() OVER (ORDER BY id) - 1 "
+            "AS BIGINT) AS nid FROM nodes)",
+            select="SELECT 'arclist' AS fmt, src, dst FROM edges "
+            "UNION ALL SELECT 'ascii', src, dst FROM edges "
+            "UNION ALL SELECT 'scattered', ms.nid, md.nid FROM edges e "
+            "JOIN m ms ON ms.id = e.src JOIN m md ON md.id = e.dst",
+        ),
+        "labelled_merge": "SELECT l_suppkey AS src, l_partkey % 120 AS dst, "
+        "min(CAST(floor(l_quantity) AS BIGINT)) AS label "
+        "FROM lineitem GROUP BY 1, 2",
+        "labelled_compose": _with(
+            "lab AS (SELECT l_suppkey AS src, l_partkey % 120 AS dst, "
+            "min(CAST(floor(l_quantity) AS BIGINT)) AS label "
+            "FROM lineitem GROUP BY 1, 2)",
+            select="SELECT a.src, b.dst, min(a.label + b.label) AS label "
+            "FROM lab a JOIN lab b ON a.dst = b.src GROUP BY a.src, b.dst",
+        ),
+        "host_map": "SELECT source AS host, count(*) AS n_docs "
+        "FROM documents GROUP BY source",
+        "degree_permutation": _with(
+            EDGES_CTE,
+            NODES_CTE,
+            "od AS (SELECT n.id, COALESCE(o.dg, 0) AS dg FROM nodes n "
+            "LEFT JOIN (SELECT src AS id, count(*) AS dg FROM edges "
+            "GROUP BY src) o ON o.id = n.id)",
+            select="SELECT id, CAST(row_number() OVER "
+            "(ORDER BY dg DESC, id ASC) - 1 AS BIGINT) AS new_id FROM od",
+        ),
+        "key_permutation": "SELECT CAST(s_suppkey AS BIGINT) AS id, "
+        "CAST(row_number() OVER (ORDER BY CAST(s_nationkey AS BIGINT) ASC, "
+        "s_suppkey ASC) - 1 AS BIGINT) AS new_id FROM supplier",
+        "lex_permutation": _with(
+            EDGES_CTE,
+            NODES_CTE,
+            "succ AS (SELECT src AS id, "
+            "string_agg(printf('%019d', dst), ',' ORDER BY dst) AS k "
+            "FROM edges GROUP BY src)",
+            "keyed AS (SELECT n.id, COALESCE(s.k, '') AS k "
+            "FROM nodes n LEFT JOIN succ s ON s.id = n.id)",
+            select="SELECT id, CAST(row_number() OVER "
+            "(ORDER BY k ASC, id ASC) - 1 AS BIGINT) AS new_id FROM keyed",
+        ),
+        "gray_permutation": _with(
+            EDGES_CTE,
+            NODES_CTE,
+            "succ AS (SELECT src AS id, list_sort(list(dst)) AS sl "
+            "FROM edges GROUP BY src)",
+            "keyed AS (SELECT n.id, COALESCE(s.sl, CAST([] AS BIGINT[])) AS sl "
+            "FROM nodes n LEFT JOIN succ s ON s.id = n.id)",
+            f"gk AS (SELECT id, list_transform(sl, (x, i) -> "
+            f"CASE WHEN (i - 1) % 2 = 0 THEN -x ELSE x END) || "
+            f"[CASE WHEN len(sl) % 2 = 1 THEN {_GRAY_BIG} "
+            f"ELSE {-_GRAY_BIG} END] AS k FROM keyed)",
+            select="SELECT id, CAST(row_number() OVER "
+            "(ORDER BY k ASC, id ASC) - 1 AS BIGINT) AS new_id FROM gk",
+        ),
+        "dedup_exact": f"SELECT min(doc_id) AS doc_id, count(*) AS n_docs, "
+        f"sha256({NORM}) AS fp FROM documents GROUP BY {NORM}",
+        "ngram_jaccard": f"""
+WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+sh AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(toks) >= 3
+  THEN list_transform(generate_series(1, len(toks) - 2),
+       i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+  ELSE [array_to_string(toks, ' ')] END) AS g FROM t),
+sz AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM (
+  SELECT id_a, id_b, i / CAST(sa.c + sb.c - i AS DOUBLE) AS j
+  FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b) p
+WHERE j >= 0.2
+""",
+        "cosine_topk": """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+q AS (SELECT vec_id, e FROM v WHERE vec_id < 8),
+sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+  list_dot_product(q.e, c.e)
+    / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e)))
+    AS score
+  FROM v c, q WHERE c.vec_id <> q.vec_id),
+r AS (SELECT query_id, neighbor_id, score,
+  row_number() OVER (PARTITION BY query_id
+                     ORDER BY score DESC, neighbor_id ASC) AS rn FROM sc)
+SELECT query_id, neighbor_id, ROUND(score, 6) AS score,
+  CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 5
+""",
+        "text_features": _text_features_sql(),
+        "events_windowed": "SELECT date_trunc('day', ts) AS day, event_type, "
+        "count(*) AS n, count(DISTINCT user_id) AS users, "
+        "ROUND(sum(value), 4) AS total_value FROM events GROUP BY 1, 2",
+        "corpus_invariant": _with(
+            corpus_ctes["idx"],
+            corpus_ctes["imp"],
+            corpus_ctes["corpus"],
+            select="SELECT CAST(count(*) AS BIGINT) AS corpus_rows, "
+            "CAST(0 AS BIGINT) AS sha_violations, "
+            "min(content_sha) AS min_sha, max(content_sha) AS max_sha "
+            "FROM corpus",
+        ),
+        "corpus_pagerank": _corpus_pagerank_sql(PR_ITERS),
+        "media_features": """
+WITH m AS (SELECT unnest(range(48)) AS media_id),
+h AS (SELECT media_id,
+  sha256('42-' || media_id || '-0') || sha256('42-' || media_id || '-1') ||
+  sha256('42-' || media_id || '-2') || sha256('42-' || media_id || '-3')
+    AS hex FROM m),
+f AS (SELECT media_id, hex,
+  CASE media_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+    ELSE 'video' END AS kind FROM h)
+SELECT media_id, kind, CAST(128 AS BIGINT) AS n_bytes,
+  CAST(CASE WHEN kind = 'video' THEN media_id % 7 + 1 ELSE 1 END
+    AS INTEGER) AS frames,
+  ROUND(len(list_filter(range(128),
+    i -> substr(hex, CAST(2 * i + 1 AS INTEGER), 1) = '0')) / 128.0, 6) AS f0
+FROM f
+""",
     }

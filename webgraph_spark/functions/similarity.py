@@ -24,8 +24,12 @@ from pyspark.sql.functions import pandas_udf
 
 
 def _dot(a: Column, b: Column) -> Column:
+    # cast each element to double BEFORE multiplying: float*float-then-widen
+    # rounds differently from widen-then-multiply, and the DuckDB oracle
+    # (embedding::DOUBLE[]) does the latter — IEEE parity requires matching
+    # operand widths per op
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
@@ -34,7 +38,7 @@ def _dot(a: Column, b: Column) -> Column:
 def _norm(a: Column) -> Column:
     return F.sqrt(
         F.aggregate(
-            F.transform(a, lambda x: (x * x).cast("double")),
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )

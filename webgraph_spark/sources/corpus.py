@@ -7,12 +7,18 @@ Spark expression over ``spark.range``, so the same (seed, shape) produces the
 same corpus on 1 core or 1000 executors, with no driver-side data generation.
 
 ``content`` embeds ``import <repo>/<path>`` lines whose targets follow a
-log-uniform (Zipf-like) distribution over file indices, so the derived link
-graph has the power-law in-degree skew that the salted shuffle paths must
-handle (reference motivation: ``algo/EliasFanoCumulativeOutdegreeList.java:25-35``).
+skewed product law over file indices, so the derived link graph has the
+power-ish in-degree skew that the salted shuffle paths must handle
+(reference motivation: ``algo/EliasFanoCumulativeOutdegreeList.java:25-35``).
+
+All pseudo-randomness is a Lehmer-style modular mixer in PLAIN BIGINT
+ARITHMETIC (no engine-specific hash builtin), so an independent SQL engine
+can regenerate the identical corpus: :func:`corpus_sql_ctes` emits DuckDB
+CTEs that mirror the generation term for term — the driver's oracle derives
+the same rows/edges without ever seeing the Spark output.
 
 Edge derivation mirrors the reference's scattered-arc ingestion
-(``ScatteredArcsASCIIGraph.java:57-139``): parse references out of content,
+(``ScatteredArcsASCIIGraph.java:57-149``): parse references out of content,
 compact arbitrary keys to dense ids, drop duplicates, optionally drop loops.
 The per-row invariant is ``sha256(content)`` (``sha2(content, 256)``),
 computed at generation time and re-checkable at any point downstream.
@@ -29,9 +35,63 @@ IMPORT_RE = r"import ([A-Za-z0-9_]+)/([A-Za-z0-9_/.]+)"
 
 _LANGS = ["py", "java", "go", "rs"]
 
+# Lehmer-style mixer modulus/multipliers: all intermediates stay < 2^63 for
+# any int64 input, so ANSI-mode Spark and DuckDB compute bit-identical
+# values with plain BIGINT arithmetic.
+_M = 2147483647  # 2^31 - 1 (prime)
+_A0, _A1, _A2 = 2654435761, 48271, 16807
+_TAG = 40503
+
+
+def _mix(i: Column, tag: int, seed: int) -> Column:
+    """Deterministic uniform-ish value in [0, 2^31-1) from (index, tag, seed).
+
+    Three multiplicative rounds mod the Mersenne prime 2^31-1; expressible
+    identically in any SQL engine (see :func:`_mix_sql`)."""
+    x = F.pmod(
+        F.pmod(i, F.lit(_M)) * _A0 + F.lit(tag * _TAG + (seed % _M) * 1013),
+        F.lit(_M),
+    )
+    x = F.pmod(x * _A1, F.lit(_M))
+    return F.pmod(x * _A2, F.lit(_M))
+
+
+def _mix_sql(i: str, tag: int, seed: int) -> str:
+    """DuckDB rendering of :func:`_mix` (operands are nonnegative, so ``%``
+    and Spark's ``pmod`` agree)."""
+    c = tag * _TAG + (seed % _M) * 1013
+    return (
+        f"((((({i}) % {_M}) * {_A0} + {c}) % {_M}) * {_A1} % {_M}) "
+        f"* {_A2} % {_M}"
+    )
+
 
 def _pm(h: Column, m: int) -> Column:
     return F.pmod(h, F.lit(m)).cast("long")
+
+
+def _target_fid(gidx: Column, files_per_repo: int, seed: int) -> Column:
+    """Skewed target file index in [0, files_per_repo): the floored product
+    of three uniform draws, density ~ (ln(F/t))²/2F — low file indices
+    become import hubs. Integer-only (requires files_per_repo ≤ 10^6 so the
+    triple product stays < 2^63), hence bit-identical across engines —
+    unlike a ``pow()``-based log-uniform draw, whose libm rounding can flip
+    a ``floor`` at bucket boundaries between engines."""
+    f = files_per_repo
+    a = _pm(_mix(gidx, 4, seed), f)
+    b = _pm(_mix(gidx, 5, seed), f)
+    c = _pm(_mix(gidx, 6, seed), f)
+    prod = a * b * c
+    denom = f * f
+    return ((prod - F.pmod(prod, F.lit(denom))) / denom).cast("long")
+
+
+def _target_fid_sql(gidx: str, files_per_repo: int, seed: int) -> str:
+    f = files_per_repo
+    return (
+        f"(({_mix_sql(gidx, 4, seed)}) % {f}) * (({_mix_sql(gidx, 5, seed)}) % {f})"
+        f" * (({_mix_sql(gidx, 6, seed)}) % {f}) // {f * f}"
+    )
 
 
 def synth_corpus(
@@ -46,9 +106,9 @@ def synth_corpus(
     """Build ``corpus(repo, path, commit, lang, content, content_sha)``.
 
     - ``repo`` = ``repo%04d``, ``path`` = ``src/mod_%05d.src`` (dense shape);
-    - each file has 1..max_imports import lines; target file index is
-      ``floor(F**u) - 1`` with u uniform — log-uniform, heavily skewed toward
-      low file indices (those files become hubs of the transposed graph);
+    - each file has 1..max_imports import lines; target file index follows
+      the skewed product law of :func:`_target_fid` (low indices are hubs
+      of the transposed graph);
     - with probability ``cross_repo_pct``% an import crosses repos;
     - ``content_sha`` is the generation-time sha256 of ``content``.
     """
@@ -57,40 +117,20 @@ def synth_corpus(
     rid = (F.col("id") / files_per_repo).cast("long")
     fid = F.pmod(F.col("id"), F.lit(files_per_repo))
 
-    def h(*cols: Column | str | int) -> Column:
-        args = [F.lit(c) if isinstance(c, (str, int)) else c for c in cols]
-        return F.xxhash64(F.lit(seed), F.col("id"), *args)
+    k_imports = 1 + _pm(_mix(F.col("id"), 1, seed), max_imports)
 
-    k_imports = 1 + _pm(h("deg"), max_imports)
+    def gidx(jj: Column) -> Column:
+        return F.col("id") * max_imports + jj
 
-    # Target file index is log-uniform (floor(F**u)) -> Zipf-like popularity
-    # of low indices; target repo crosses repos with cross_repo_pct%.
     imports_arr = F.transform(
         F.sequence(F.lit(0), k_imports - 1),
         lambda jj: F.format_string(
             "import repo%04d/src/mod_%05d.src",
             F.when(
-                _pm(F.xxhash64(F.lit(seed), F.col("id"), jj, F.lit("x")), 100)
-                < F.lit(cross_repo_pct),
-                _pm(F.xxhash64(F.lit(seed), F.col("id"), jj, F.lit("r")), n_repos),
+                _pm(_mix(gidx(jj), 2, seed), 100) < F.lit(cross_repo_pct),
+                _pm(_mix(gidx(jj), 3, seed), n_repos),
             ).otherwise(rid),
-            F.greatest(
-                F.lit(0),
-                F.least(
-                    F.lit(files_per_repo - 1),
-                    F.floor(
-                        F.pow(
-                            F.lit(float(files_per_repo)),
-                            _pm(
-                                F.xxhash64(F.lit(seed), F.col("id"), jj, F.lit("t")),
-                                1 << 20,
-                            )
-                            / float(1 << 20),
-                        )
-                    )
-                    - 1,
-                ),
-            ).cast("long"),
+            _target_fid(gidx(jj), files_per_repo, seed),
         ),
     )
     body = F.concat(
@@ -114,11 +154,75 @@ def synth_corpus(
         ).alias("commit"),
         F.element_at(
             F.array(*[F.lit(lang) for lang in _LANGS]),
-            (_pm(h("lang"), len(_LANGS)) + 1).cast("int"),
+            (_pm(_mix(F.col("id"), 7, seed), len(_LANGS)) + 1).cast("int"),
         ).alias("lang"),
         content.alias("content"),
     )
     return corpus.withColumn("content_sha", F.sha2(F.col("content"), 256))
+
+
+def corpus_sql_ctes(
+    n_repos: int = 10,
+    files_per_repo: int = 100,
+    max_imports: int = 8,
+    cross_repo_pct: int = 10,
+    seed: int = 42,
+) -> dict[str, str]:
+    """DuckDB CTEs regenerating the identical corpus, for oracle SQL.
+
+    Returns ``{"corpus": ..., "edges": ...}``:
+
+    - ``corpus(id, repo, path, content, content_sha)`` — content built with
+      the same printf/list expressions (sha256 output format matches
+      Spark's sha2 lowercase hex);
+    - ``edges(src, dst)`` — the deduplicated, loop-free dense-id edge list
+      derived ARITHMETICALLY (dst = dst_repo·files + dst_fid). Dense ids
+      minted in (repo, path) sort order coincide with the row index because
+      the zero-padded repo/path strings are monotone in it.
+    """
+    n = n_repos * files_per_repo
+    f = files_per_repo
+    g = f"(i.id * {max_imports} + j)"
+    dst_repo = (
+        f"CASE WHEN ({_mix_sql(g, 2, seed)}) % 100 < {cross_repo_pct} "
+        f"THEN ({_mix_sql(g, 3, seed)}) % {n_repos} "
+        f"ELSE i.id // {f} END"
+    )
+    dst_fid = _target_fid_sql(g, f, seed)
+    imports = (
+        f"imp AS (SELECT i.id, j, ({dst_repo}) AS dst_repo, "
+        f"({dst_fid}) AS dst_fid "
+        f"FROM idx i, LATERAL unnest(range(1 + ({_mix_sql('i.id', 1, seed)}) "
+        f"% {max_imports})) AS t(j))"
+    )
+    # NB: standard SQL string literals do not interpret backslash escapes —
+    # newlines must be spliced in with chr(10)
+    content = (
+        f"printf('# module %d', i.id) || chr(10) || imports_txt || chr(10) || "
+        f"'def main_' || i.id || '():' || chr(10) || '    return ' || "
+        f"sha256('{seed}' || i.id) || chr(10)"
+    )
+    corpus = (
+        f"imptxt AS (SELECT id, string_agg("
+        f"printf('import repo%04d/src/mod_%05d.src', dst_repo, dst_fid), "
+        f"chr(10) ORDER BY j) AS imports_txt FROM imp GROUP BY id), "
+        f"corpus AS (SELECT i.id, printf('repo%04d', i.id // {f}) AS repo, "
+        f"printf('src/mod_%05d.src', i.id % {f}) AS path, "
+        f"({content}) AS content, "
+        f"sha256({content}) AS content_sha "
+        f"FROM idx i JOIN imptxt ON imptxt.id = i.id)"
+    )
+    edges = (
+        f"cedges AS (SELECT DISTINCT id AS src, "
+        f"dst_repo * {f} + dst_fid AS dst FROM imp "
+        f"WHERE id <> dst_repo * {f} + dst_fid)"
+    )
+    return {
+        "idx": f"idx AS (SELECT unnest(range({n})) AS id)",
+        "imp": imports,
+        "corpus": corpus,
+        "edges": edges,
+    }
 
 
 def verify_content_sha(corpus: DataFrame) -> int:
