@@ -57,6 +57,7 @@ from webgraph_spark.algo.pagerank import (
     pagerank_edges,
     pagerank_weighted,
 )
+from webgraph_spark.algo.pagerank_block import pagerank_block
 from webgraph_spark.algo.triangles import (
     triangle_count_adjacency,
     triangles_per_vertex,
@@ -693,9 +694,12 @@ def _q_pagerank_edges(spark, sf_dir):
 
 
 def _q_pagerank_csr(spark, sf_dir):
+    """Block-vector CSR kernel (the scale path); the row-state kernel
+    (:func:`webgraph_spark.algo.pagerank.pagerank`) stays differential-
+    tested in pytest and `pagerank_edges` covers the join/agg plan here."""
     e = _edges(spark, sf_dir)
     csr = build_csr(e, num_blocks=8)
-    res = pagerank(spark, csr, _nodes(e), alpha=ALPHA, tol=0.0, max_iter=PR_ITERS)
+    res = pagerank_block(spark, csr, _nodes(e), alpha=ALPHA, tol=0.0, max_iter=PR_ITERS)
     return res.ranks.select("id", F.round("rank", 9).alias("rank"))
 
 
@@ -1030,7 +1034,7 @@ def _q_corpus_pagerank(spark, sf_dir):
     nodes = corpus_nodes(corpus)
     edges = corpus_edges(corpus, nodes, no_loops=True)
     csr = build_csr(edges, num_blocks=8)
-    res = pagerank(spark, csr, nodes.select("id"), tol=0.0, max_iter=PR_ITERS)
+    res = pagerank_block(spark, csr, nodes.select("id"), tol=0.0, max_iter=PR_ITERS)
     return res.ranks.select("id", F.round("rank", 9).alias("rank"))
 
 
@@ -1050,7 +1054,7 @@ def entry(spark: SparkSession) -> DataFrame:
     e = _edges(spark, sf_dir)
     nodes = _nodes(e)
     csr = build_csr(e, num_blocks=8)
-    res = pagerank(spark, csr, nodes, alpha=ALPHA, tol=1e-8, max_iter=50)
+    res = pagerank_block(spark, csr, nodes, alpha=ALPHA, tol=1e-8, max_iter=50)
     return res.ranks.select("id", F.round("rank", 9).alias("rank"))
 
 

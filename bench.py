@@ -37,7 +37,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from webgraph_spark.algo.bfs import bfs_distances
 from webgraph_spark.algo.components import hash_min_components
 from webgraph_spark.algo.labelprop import label_propagation
-from webgraph_spark.algo.pagerank import pagerank, pagerank_edges
+from webgraph_spark.algo.pagerank import pagerank_edges
+from webgraph_spark.algo.pagerank_block import pagerank_block
 from webgraph_spark.algo.triangles import triangle_count_adjacency
 from webgraph_spark.functions.dedup import dedup_exact, minhash_lsh_pairs, simhash_pairs
 from webgraph_spark.functions.similarity import cosine_topk
@@ -129,7 +130,7 @@ def main() -> None:
 
     pr = timed(
         "pagerank_csr",
-        lambda: pagerank(spark, csr, nodes, tol=0.0, max_iter=args.pr_iters),
+        lambda: pagerank_block(spark, csr, nodes, tol=0.0, max_iter=args.pr_iters),
     )
     # steady-state iteration time: median of all but the first iteration
     steady = statistics.median(pr.iter_seconds[1:]) if len(pr.iter_seconds) > 1 \
@@ -146,7 +147,9 @@ def main() -> None:
         # L1 contracts as alpha^k: 1e-9 needs ~140 iterations at alpha=0.85
         conv = timed(
             "pagerank_converge",
-            lambda: pagerank(spark, csr, nodes, tol=1e-9, max_iter=170),
+            lambda: pagerank_block(
+                spark, csr, nodes, tol=1e-9, max_iter=200, extrapolate=True
+            ),
         )
         extras["pagerank_converged"] = conv.converged
         extras["pagerank_converge_iters"] = conv.iterations

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from webgraph_spark.plans.iterate import checkpoint_state
+
 
 def betweenness(
     edges: DataFrame,
@@ -47,7 +49,7 @@ def betweenness(
         sources.select(F.col("id").alias("s"), F.col("id").alias("v"))
         .withColumn("dist", F.lit(0))
         .withColumn("sigma", F.lit(1.0))
-        .localCheckpoint(eager=True)
+        .transform(checkpoint_state)
     )
     frontier = visited
     depth = 0
@@ -60,7 +62,7 @@ def betweenness(
             .join(visited.select("s", "v"), ["s", "v"], "left_anti")
             .withColumn("dist", F.lit(depth))
             .select("s", "v", "dist", "sigma")
-            .localCheckpoint(eager=True)
+            .transform(checkpoint_state)
         )
         if expand.isEmpty():
             depth -= 1
@@ -68,7 +70,7 @@ def betweenness(
             break
         if depth > max_depth:
             break
-        visited = visited.unionByName(expand).localCheckpoint(eager=True)
+        visited = visited.unionByName(expand).transform(checkpoint_state)
         frontier = expand
     if not drained:
         # paths deeper than max_depth exist: values would be silently wrong
@@ -82,7 +84,7 @@ def betweenness(
     vstate = visited.persist()
     deltas = vstate.select("s", "v").withColumn(
         "delta", F.lit(0.0)
-    ).localCheckpoint(eager=True)
+    ).transform(checkpoint_state)
     for d in range(depth, 0, -1):
         upper = (
             vstate.filter(F.col("dist") == d)
@@ -113,7 +115,7 @@ def betweenness(
                 "v",
                 (F.col("delta") + F.coalesce("__c", F.lit(0.0))).alias("delta"),
             )
-            .localCheckpoint(eager=True)
+            .transform(checkpoint_state)
         )
     out = (
         deltas.filter(F.col("s") != F.col("v"))

@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from webgraph_spark.plans.iterate import checkpoint_state
+
 
 def bfs_distances(
     edges: DataFrame,
@@ -35,11 +37,11 @@ def bfs_distances(
             .distinct()
             .join(visited.select("id"), "id", "left_anti")
             .withColumn("dist", F.lit(depth))
-            .localCheckpoint(eager=True)
+            .transform(checkpoint_state)
         )
         if nxt.isEmpty():
             break
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        visited = visited.unionByName(nxt).transform(checkpoint_state)
         frontier = nxt
     return visited
 
@@ -62,7 +64,7 @@ def neighbourhood_function(
     use only on fixtures, exactly like the reference's exact NF.
     """
     pairs = nodes.select(F.col("id").alias("s"), F.col("id").alias("v"))
-    pairs = pairs.localCheckpoint(eager=True)
+    pairs = pairs.transform(checkpoint_state)
     nf = [pairs.count()]
     for _ in range(1, max_t + 1):
         expanded = (
@@ -70,7 +72,7 @@ def neighbourhood_function(
             .select("s", F.col("dst").alias("v"))
             .unionByName(pairs)
             .distinct()
-            .localCheckpoint(eager=True)
+            .transform(checkpoint_state)
         )
         cnt = expanded.count()
         if cnt == nf[-1]:

@@ -13,8 +13,10 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
+
+from webgraph_spark.plans.iterate import checkpoint_state
 
 from webgraph_spark.operators.transform import symmetrize
 
@@ -63,7 +65,7 @@ def hash_min_components(
         initial.select("id", "comp")
         if initial is not None
         else nodes.withColumn("comp", F.col("id"))
-    ).withColumn("__ch", F.lit(1)).localCheckpoint(eager=True)
+    ).withColumn("__ch", F.lit(1)).transform(checkpoint_state)
 
     result = ComponentsResult(components=comps, iterations=start_iteration)
     for it in range(start_iteration, max_iter):
@@ -82,6 +84,7 @@ def hash_min_components(
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("comp").alias("__nm"))
         )
+        obs = Observation()
         updated = (
             comps.select("id", "comp")
             .join(nbr_min, "id", "left")
@@ -90,11 +93,10 @@ def hash_min_components(
                 F.least("comp", "__nm").alias("comp"),
                 (F.col("__nm") < F.col("comp")).cast("int").alias("__ch"),
             )
-            .localCheckpoint(eager=True)
+            .observe(obs, F.sum("__ch").alias("c"))
+            .transform(checkpoint_state)
         )
-        changed = int(
-            updated.agg(F.sum("__ch").alias("c")).collect()[0]["c"] or 0
-        )
+        changed = int(obs.get["c"] or 0)
         new_comps = updated
         wall = time.monotonic() - t0
         result.changed_per_iter.append(changed)
@@ -197,13 +199,13 @@ def star_contraction_components(
     e = (
         edges.select("src", "dst")
         .filter(F.col("src") != F.col("dst"))
-        .localCheckpoint(eager=True)
+        .transform(checkpoint_state)
     )
     result = ComponentsResult(components=None, iterations=0)
     prev = _sig(e)
     for rnd in range(max_rounds):
         t0 = time.monotonic()
-        e = _small(_large(e)).localCheckpoint(eager=True)
+        e = _small(_large(e)).transform(checkpoint_state)
         sig = _sig(e)
         result.iterations = rnd + 1
         result.iter_seconds.append(time.monotonic() - t0)

@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from webgraph_spark.plans.iterate import checkpoint_state
+
 
 def all_pairs_distances(
     edges: DataFrame,
@@ -27,7 +29,7 @@ def all_pairs_distances(
     """``(s, v, dist)`` for every source s and node v reachable from it."""
     visited = sources.select(
         F.col("id").alias("s"), F.col("id").alias("v")
-    ).withColumn("dist", F.lit(0)).localCheckpoint(eager=True)
+    ).withColumn("dist", F.lit(0)).transform(checkpoint_state)
     frontier = visited
     for depth in range(1, max_depth + 1):
         nxt = (
@@ -36,11 +38,11 @@ def all_pairs_distances(
             .distinct()
             .join(visited.select("s", "v"), ["s", "v"], "left_anti")
             .withColumn("dist", F.lit(depth))
-            .localCheckpoint(eager=True)
+            .transform(checkpoint_state)
         )
         if nxt.isEmpty():
             break
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        visited = visited.unionByName(nxt).transform(checkpoint_state)
         frontier = nxt
     return visited
 

@@ -27,8 +27,10 @@ from dataclasses import dataclass, field
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
+
+from webgraph_spark.plans.iterate import checkpoint_state
 
 
 def _alpha(m: int) -> float:
@@ -249,7 +251,7 @@ def hyperball(
         .repartition("id")
         .sortWithinPartitions("id")
         .mapInPandas(init_kernel, schema=schema)
-        .localCheckpoint(eager=True)
+        .transform(checkpoint_state)
     )
     result = HyperBallResult(state=state)
     nf0 = state.agg(F.sum("est")).collect()[0][0]
@@ -287,16 +289,18 @@ def hyperball(
         disc_factors = {
             name: float(discounts[name](t)) for name in disc_names
         }
+        obs = Observation()
         merged = (
             own.unionByName(msgs)
             .repartition("id")
             .sortWithinPartitions("id", F.desc("is_own"))
             .mapInPandas(_merge_factory(m, t, disc_factors), schema=schema)
-            .localCheckpoint(eager=True)
+            .observe(
+                obs, F.sum("changed").alias("ch"), F.sum("est").alias("nf")
+            )
+            .transform(checkpoint_state)
         )
-        agg = merged.agg(
-            F.sum("changed").alias("ch"), F.sum("est").alias("nf")
-        ).collect()[0]
+        agg = obs.get
         state = merged
         result.state = state
         result.iterations = t

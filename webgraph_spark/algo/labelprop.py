@@ -12,8 +12,10 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
+
+from webgraph_spark.plans.iterate import checkpoint_state
 
 from webgraph_spark.operators.transform import symmetrize
 
@@ -53,7 +55,7 @@ def label_propagation(
         initial.select("id", "label")
         if initial is not None
         else nodes.withColumn("label", F.col("id"))
-    ).localCheckpoint(eager=True)
+    ).transform(checkpoint_state)
 
     changed_set = labels.select("id")  # first round: everyone "changed"
     result = LabelPropResult(labels=labels, iterations=start_iteration)
@@ -87,8 +89,9 @@ def label_propagation(
             ).alias("new_label")
         )
         # changed flag computed in the same join/select that applies the
-        # update — the count is then a cheap scan of the checkpointed rows,
-        # not a separate new⋈old join job.
+        # update; the changed-count rides on the eager checkpoint job as an
+        # observed metric — ONE action per round.
+        obs = Observation()
         updated = (
             labels.join(winner, "id", "left")
             .select(
@@ -98,11 +101,10 @@ def label_propagation(
                 .cast("int")
                 .alias("__ch"),
             )
-            .localCheckpoint(eager=True)
+            .observe(obs, F.sum("__ch").alias("c"))
+            .transform(checkpoint_state)
         )
-        changed = int(
-            updated.agg(F.sum("__ch").alias("c")).collect()[0]["c"] or 0
-        )
+        changed = int(obs.get["c"] or 0)
         new_labels = updated.select("id", "label")
         changed_set = updated.filter(F.col("__ch") == 1).select("id")
         wall = time.monotonic() - t0

@@ -39,8 +39,10 @@ from dataclasses import dataclass, field
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
+
+from webgraph_spark.plans.iterate import checkpoint_state
 
 from webgraph_spark.plans.csr import CsrGraph, decode_block
 
@@ -196,15 +198,13 @@ def pagerank(
     bid_col = csr.node_block_id_col("id")
     if initial_ranks is not None:
         ranks = nodes.join(initial_ranks.select("id", "rank"), "id")
-        ranks = ranks.localCheckpoint(eager=True)
+        ranks = ranks.transform(checkpoint_state)
         non_dangling = float(
             ranks.agg(F.sum(F.col("rank") * F.col("__has_out"))).collect()[0][0]
             or 0.0
         )
     else:
-        ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(
-            eager=True
-        )
+        ranks = nodes.withColumn("rank", F.lit(1.0 / n))
         non_dangling = n_src / n
 
     kernel = _spmv_arrow_kernel_factory()
@@ -242,12 +242,18 @@ def pagerank(
                 F.col("new_rank").alias("rank"),
                 F.abs(F.col("new_rank") - F.col("old_rank")).alias("__delta"),
             )
-            .localCheckpoint(eager=True)
         )
-        agg = updated.agg(
+        # ONE action per iteration: the L1 delta and next iteration's
+        # non-dangling mass ride on the eager checkpoint job itself as
+        # observed metrics — no separate aggregate scan, halving the
+        # per-iteration serial floor.
+        obs = Observation()
+        updated = updated.observe(
+            obs,
             F.sum("__delta").alias("d"),
             F.sum(F.col("rank") * F.col("__has_out")).alias("nd"),
-        ).collect()[0]
+        ).transform(checkpoint_state)
+        agg = obs.get
         delta = agg["d"]
         non_dangling = float(agg["nd"] or 0.0)
         new_ranks = updated.select("id", "__has_out", "rank")
@@ -282,13 +288,20 @@ def pagerank_edges(
     matching a fixed-iteration SQL oracle term for term.
     """
     n = nodes.count()
-    nodes = nodes.select("id").persist()
     deg = edges.groupBy(F.col("src").alias("id")).agg(
         F.count(F.lit(1)).alias("deg")
     ).persist()
+    n_src = deg.count()
+    nodes = (
+        nodes.select("id")
+        .join(deg.select("id", F.lit(1.0).alias("__has_out")), "id", "left")
+        .na.fill({"__has_out": 0.0})
+        .persist()
+    )
     edeg = edges.join(deg.withColumnRenamed("id", "src"), "src").persist()
     edeg.count()
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).transform(checkpoint_state)
+    non_dangling = n_src / n
     result = PageRankResult(ranks=ranks, iterations=0)
     total = n_iter if n_iter is not None else max_iter
     for it in range(total):
@@ -298,41 +311,44 @@ def pagerank_edges(
             .groupBy("dst")
             .agg(F.sum("c").alias("contrib"))
         )
-        non_dangling = (
-            ranks.join(deg, "id", "inner")
-            .agg(F.sum("rank").alias("s"))
-            .collect()[0]["s"]
-            or 0.0
-        )
+        # dangling mass of iteration t = 1 - non-dangling rank sum measured
+        # on iteration t-1's OUTPUT (observed metric) — no extra scan job
         dangling = 1.0 - float(non_dangling)
         base = (1.0 - alpha) / n + alpha * dangling / n
-        new_ranks = (
-            nodes.join(contrib.withColumnRenamed("dst", "id"), "id", "left")
+        obs = Observation()
+        updated = (
+            ranks.join(contrib.withColumnRenamed("dst", "id"), "id", "left")
             .select(
                 "id",
+                "__has_out",
                 (
                     F.lit(base)
                     + F.lit(alpha) * F.coalesce(F.col("contrib"), F.lit(0.0))
                 ).alias("rank"),
+                F.abs(
+                    F.lit(base)
+                    + F.lit(alpha) * F.coalesce(F.col("contrib"), F.lit(0.0))
+                    - F.col("rank")
+                ).alias("__delta"),
             )
-            .localCheckpoint(eager=True)
+            .observe(
+                obs,
+                F.sum("__delta").alias("d"),
+                F.sum(F.col("rank") * F.col("__has_out")).alias("nd"),
+            )
+            .transform(checkpoint_state)
         )
+        agg = obs.get
+        non_dangling = float(agg["nd"] or 0.0)
         result.iterations = it + 1
+        ranks = updated.select("id", "__has_out", "rank")
         if n_iter is None:
-            delta = (
-                new_ranks.alias("nn")
-                .join(ranks.alias("oo"), "id")
-                .agg(F.sum(F.abs(F.col("nn.rank") - F.col("oo.rank"))).alias("d"))
-                .collect()[0]["d"]
-            )
-            result.deltas.append(float(delta))
-            ranks = new_ranks
+            delta = float(agg["d"])
+            result.deltas.append(delta)
             if delta < tol:
                 result.converged = True
                 break
-        else:
-            ranks = new_ranks
-    result.ranks = ranks
+    result.ranks = ranks.select("id", "rank")
     return result
 
 
@@ -360,62 +376,77 @@ def personalized_pagerank(
         .persist()
     )
     blocks.count()
-    nodes = nodes.select("id").persist()
+    srcs_with_out = blocks.select(F.explode("srcs").alias("id")).distinct()
     src_flag = sources.select("id").withColumn("__is_src", F.lit(1.0))
-    base_nodes = nodes.join(src_flag, "id", "left").na.fill({"__is_src": 0.0})
+    base_nodes = (
+        nodes.select("id")
+        .join(src_flag, "id", "left")
+        .join(srcs_with_out.withColumn("__has_out", F.lit(1.0)), "id", "left")
+        .na.fill({"__is_src": 0.0, "__has_out": 0.0})
+        .persist()
+    )
     ranks = base_nodes.select(
-        "id", (F.col("__is_src") / n_src).alias("rank")
-    ).localCheckpoint(eager=True)
+        "id", "__is_src", "__has_out", (F.col("__is_src") / n_src).alias("rank")
+    ).transform(checkpoint_state)
+    # non-dangling mass of the initial vector: sources that have out-arcs
+    non_dangling = (
+        base_nodes.filter(F.col("__is_src") > 0)
+        .agg(F.sum(F.col("__has_out") / n_src))
+        .collect()[0][0]
+        or 0.0
+    )
 
     bid_col = csr.node_block_id_col("id")
     kernel = _spmv_kernel_factory()
     result = PageRankResult(ranks=ranks, iterations=0)
     for it in range(max_iter):
         t0 = time.monotonic()
-        ranks_b = ranks.withColumn("block_id", bid_col)
+        ranks_b = ranks.select("id", "rank").withColumn("block_id", bid_col)
         contribs = (
             blocks.groupby("block_id")
             .cogroup(ranks_b.groupby("block_id"))
             .applyInPandas(kernel, schema="dst long, val double")
         )
-        sums = contribs.groupBy("dst").agg(F.sum("val").alias("contrib")).persist()
-        nd_rows = sums.filter(F.col("dst") == _DANGLING_KEY).collect()
-        non_dangling = float(nd_rows[0]["contrib"]) if nd_rows else 0.0
-        dangling = 1.0 - non_dangling
+        sums = (
+            contribs.filter(F.col("dst") >= 0)
+            .groupBy("dst")
+            .agg(F.sum("val").alias("contrib"))
+        )
+        dangling = 1.0 - float(non_dangling)
         # teleport + dangling mass concentrate on the source set
         src_mass = (1.0 - alpha) / n_src + alpha * dangling / n_src
-        updated = (
-            base_nodes.join(ranks.withColumnRenamed("rank", "old_rank"), "id")
-            .join(
-                sums.filter(F.col("dst") >= 0).withColumnRenamed("dst", "id"),
-                "id",
-                "left",
-            )
-            .select(
-                "id",
-                (
-                    F.col("__is_src") * F.lit(src_mass)
-                    + F.lit(alpha) * F.coalesce(F.col("contrib"), F.lit(0.0))
-                ).alias("rank"),
-                F.col("old_rank"),
-            )
-            .select(
-                "id",
-                "rank",
-                F.abs(F.col("rank") - F.col("old_rank")).alias("__delta"),
-            )
-            .localCheckpoint(eager=True)
+        new_rank = (
+            F.col("__is_src") * F.lit(src_mass)
+            + F.lit(alpha) * F.coalesce(F.col("contrib"), F.lit(0.0))
         )
-        delta = updated.agg(F.sum("__delta").alias("d")).collect()[0]["d"]
-        ranks = updated.select("id", "rank")
-        sums.unpersist()
-        result.deltas.append(float(delta))
+        obs = Observation()
+        updated = (
+            ranks.join(sums.withColumnRenamed("dst", "id"), "id", "left")
+            .select(
+                "id",
+                "__is_src",
+                "__has_out",
+                new_rank.alias("rank"),
+                F.abs(new_rank - F.col("rank")).alias("__delta"),
+            )
+            .observe(
+                obs,
+                F.sum("__delta").alias("d"),
+                F.sum(F.col("rank") * F.col("__has_out")).alias("nd"),
+            )
+            .transform(checkpoint_state)
+        )
+        agg = obs.get
+        delta = float(agg["d"])
+        non_dangling = float(agg["nd"] or 0.0)
+        ranks = updated.select("id", "__is_src", "__has_out", "rank")
+        result.deltas.append(delta)
         result.iter_seconds.append(time.monotonic() - t0)
         result.iterations = it + 1
         if delta < tol:
             result.converged = True
             break
-    result.ranks = ranks
+    result.ranks = ranks.select("id", "rank")
     return result
 
 
@@ -436,7 +467,6 @@ def pagerank_weighted(
     must be positive.
     """
     n = nodes.count()
-    nodes = nodes.select("id").persist()
     w = F.col(weight_col).cast("double")
     # zero-weight arcs carry no mass: drop them, so a node whose out-weights
     # sum to 0 is correctly dangling instead of dividing by zero (ANSI)
@@ -444,11 +474,19 @@ def pagerank_weighted(
     totals = edges.groupBy(F.col("src").alias("id")).agg(
         F.sum(w).alias("wtot")
     ).persist()
+    n_src = totals.count()
+    nodes = (
+        nodes.select("id")
+        .join(totals.select("id", F.lit(1.0).alias("__has_out")), "id", "left")
+        .na.fill({"__has_out": 0.0})
+        .persist()
+    )
     ew = edges.select("src", "dst", w.alias("__w")).join(
         totals.withColumnRenamed("id", "src"), "src"
     ).persist()
     ew.count()
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).transform(checkpoint_state)
+    non_dangling = n_src / n
     result = PageRankResult(ranks=ranks, iterations=0)
     total = n_iter if n_iter is not None else max_iter
     for it in range(total):
@@ -461,44 +499,38 @@ def pagerank_weighted(
             .groupBy("dst")
             .agg(F.sum("c").alias("contrib"))
         )
-        non_dangling = (
-            ranks.join(totals, "id", "inner")
-            .agg(F.sum("rank").alias("s"))
-            .collect()[0]["s"]
-            or 0.0
-        )
         dangling = 1.0 - float(non_dangling)
         base = (1.0 - alpha) / n + alpha * dangling / n
+        new_rank = (
+            F.lit(base) + F.lit(alpha) * F.coalesce(F.col("contrib"), F.lit(0.0))
+        )
+        obs = Observation()
         updated = (
             ranks.join(contrib.withColumnRenamed("dst", "id"), "id", "left")
             .select(
                 "id",
-                (
-                    F.lit(base)
-                    + F.lit(alpha) * F.coalesce(F.col("contrib"), F.lit(0.0))
-                ).alias("new_rank"),
-                F.col("rank").alias("old_rank"),
+                "__has_out",
+                new_rank.alias("rank"),
+                F.abs(new_rank - F.col("rank")).alias("__d"),
             )
-            .select(
-                "id",
-                F.col("new_rank").alias("rank"),
-                F.abs(F.col("new_rank") - F.col("old_rank")).alias("__d"),
+            .observe(
+                obs,
+                F.sum("__d").alias("d"),
+                F.sum(F.col("rank") * F.col("__has_out")).alias("nd"),
             )
-            .localCheckpoint(eager=True)
+            .transform(checkpoint_state)
         )
+        agg = obs.get
+        non_dangling = float(agg["nd"] or 0.0)
         result.iterations = it + 1
+        ranks = updated.select("id", "__has_out", "rank")
         if n_iter is None:
-            delta = float(
-                updated.agg(F.sum("__d")).collect()[0][0] or 0.0
-            )
+            delta = float(agg["d"])
             result.deltas.append(delta)
-            ranks = updated.select("id", "rank")
             if delta < tol:
                 result.converged = True
                 break
-        else:
-            ranks = updated.select("id", "rank")
-    result.ranks = ranks
+    result.ranks = ranks.select("id", "rank")
     return result
 
 

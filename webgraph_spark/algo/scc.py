@@ -28,8 +28,10 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
+
+from webgraph_spark.plans.iterate import checkpoint_state
 
 from webgraph_spark.plans.partitioning import partition_for_join
 
@@ -47,7 +49,7 @@ def _forward_min_coloring(edges: DataFrame, nodes: DataFrame, max_iter: int) -> 
     col = (
         nodes.withColumn("col", F.col("id"))
         .withColumn("__ch", F.lit(1))
-        .localCheckpoint(eager=True)
+        .transform(checkpoint_state)
     )
     for _ in range(max_iter):
         nbr = (
@@ -55,6 +57,7 @@ def _forward_min_coloring(edges: DataFrame, nodes: DataFrame, max_iter: int) -> 
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("col").alias("__nm"))
         )
+        obs = Observation()
         updated = (
             col.select("id", "col")
             .join(nbr, "id", "left")
@@ -63,9 +66,10 @@ def _forward_min_coloring(edges: DataFrame, nodes: DataFrame, max_iter: int) -> 
                 F.least("col", "__nm").alias("col"),
                 (F.col("__nm") < F.col("col")).cast("int").alias("__ch"),
             )
-            .localCheckpoint(eager=True)
+            .observe(obs, F.sum("__ch").alias("c"))
+            .transform(checkpoint_state)
         )
-        changed = int(updated.agg(F.sum("__ch")).collect()[0][0] or 0)
+        changed = int(obs.get["c"] or 0)
         col = updated
         if changed == 0:
             break
@@ -87,7 +91,7 @@ def strongly_connected_components(
             .union(edges.select(F.col("dst").alias("id")))
             .distinct()
         )
-    remaining_nodes = nodes.select("id").localCheckpoint(eager=True)
+    remaining_nodes = nodes.select("id").transform(checkpoint_state)
     remaining_edges = edges
     result = SccResult(components=None)
     assigned_parts: list[DataFrame] = []
@@ -110,7 +114,7 @@ def strongly_connected_components(
             "src",
         ).persist()
         roots = col.filter(F.col("id") == F.col("col")).select("id", "col")
-        visited = roots.localCheckpoint(eager=True)
+        visited = roots.transform(checkpoint_state)
         frontier = visited
         while True:
             nxt = (
@@ -118,19 +122,17 @@ def strongly_connected_components(
                 .select(F.col("dst").alias("id"), F.col("col"))
                 .distinct()
                 .join(visited.select("id"), "id", "left_anti")
-                .localCheckpoint(eager=True)
+                .transform(checkpoint_state)
             )
             if nxt.isEmpty():
                 break
-            visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+            visited = visited.unionByName(nxt).transform(checkpoint_state)
             frontier = nxt
-        part = visited.select("id", F.col("col").alias("comp")).localCheckpoint(
-            eager=True
-        )
+        part = visited.select("id", F.col("col").alias("comp"))
         assigned_parts.append(part)
         remaining_nodes = (
             remaining_nodes.join(part.select("id"), "id", "left_anti")
-            .localCheckpoint(eager=True)
+            .transform(checkpoint_state)
         )
         remaining_edges = (
             remaining_edges.join(
@@ -139,7 +141,7 @@ def strongly_connected_components(
             .join(
                 remaining_nodes.withColumnRenamed("id", "dst"), "dst", "leftsemi"
             )
-            .localCheckpoint(eager=True)
+            .transform(checkpoint_state)
         )
         col.unpersist()
         same_col_rev.unpersist()

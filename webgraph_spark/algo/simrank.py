@@ -22,6 +22,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from webgraph_spark.plans.iterate import checkpoint_state
+
 
 @dataclass
 class SimRankResult:
@@ -54,7 +56,7 @@ def simrank(
     diag = nodes.select(
         F.col("id").alias("a"), F.col("id").alias("b"), F.lit(1.0).alias("s")
     )
-    scores = diag.localCheckpoint(eager=True)
+    scores = diag.transform(checkpoint_state)
     result = SimRankResult(scores=scores)
     e_a = ine.select(F.col("node").alias("a"), F.col("nbr").alias("i"))
     e_b = ine.select(F.col("node").alias("b"), F.col("nbr").alias("j"))
@@ -78,7 +80,7 @@ def simrank(
                 (F.lit(c) * F.col("ss") / (F.col("da") * F.col("db"))).alias("s"),
             )
         )
-        new_scores = diag.unionByName(offdiag).localCheckpoint(eager=True)
+        new_scores = diag.unionByName(offdiag).transform(checkpoint_state)
         delta = (
             new_scores.alias("n")
             .join(scores.alias("o"), ["a", "b"], "outer")

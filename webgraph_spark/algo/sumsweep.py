@@ -33,6 +33,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from webgraph_spark.plans.iterate import checkpoint_state
+
 from webgraph_spark.algo.bfs import bfs_distances
 from webgraph_spark.operators.transform import transpose
 
@@ -113,7 +115,7 @@ def sumsweep_diameter_radius(
         nodes.select("id")
         .withColumn("lF", F.lit(0))
         .withColumn("uF", F.lit(_INF))
-        .localCheckpoint(eager=True)
+        .transform(checkpoint_state)
     )
     res = DiameterRadiusResult(diameter=0, radius=_INF, diameter_node=-1, radius_node=-1)
     dl, ru = 0, _INF  # best diameter lower / radius upper bound so far
@@ -151,7 +153,7 @@ def sumsweep_diameter_radius(
                 )
                 .alias("uF"),
             )
-            .localCheckpoint(eager=True)
+            .transform(checkpoint_state)
         )
         dist_f.unpersist()
         res.sweeps += 1
