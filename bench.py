@@ -123,7 +123,11 @@ def main() -> None:
     n = nodes.count()
     extras["n_edges"], extras["n_nodes"] = m, n
 
-    csr = timed("csr_build", lambda: build_csr(edges, target_edges_per_block=250_000))
+    # block sizing: ~2 blocks per core wave keeps the B^2 partial-vector
+    # emission small while all cores stay busy (measured at m16: 57 blocks
+    # -> 27M edges/s/iter vs 114 blocks -> 21M)
+    tgt_block = max(250_000, m // (2 * int(args.cpus)))
+    csr = timed("csr_build", lambda: build_csr(edges, target_edges_per_block=tgt_block))
     acct = verify_accounting(csr)
     assert acct["ok"], acct
     extras["csr_blocks"] = acct["blocks"]

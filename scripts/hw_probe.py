@@ -35,8 +35,12 @@ def cpu_task(_):
 
 
 def bw_task(_):
-    a = np.zeros(200_000_000 // 8)
+    # np.ones + a warm-up copy force real page allocation on both buffers:
+    # np.zeros would hand back copy-on-write zero pages and the first
+    # timed copy would measure page-fault servicing, not DRAM bandwidth
+    a = np.ones(200_000_000 // 8)
     b = np.empty_like(a)
+    np.copyto(b, a)
     t0 = time.monotonic()
     n = 0
     while time.monotonic() - t0 < 3.0:

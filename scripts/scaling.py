@@ -44,7 +44,7 @@ sys.path.insert(0, {root!r})
 from webgraph_spark.session import get_spark
 from bench import build_edges
 from webgraph_spark.plans.csr import build_csr
-from webgraph_spark.algo.pagerank import pagerank
+from webgraph_spark.algo.pagerank_block import pagerank_block as pagerank
 import pyspark.sql.functions as F
 spark = get_spark(master="local[{cpus}]", shuffle_partitions={cpus},
                   extra_conf={{"spark.ui.enabled": "false",
@@ -55,7 +55,9 @@ m = edges.count()
 nodes = (edges.select(F.col("src").alias("id"))
          .union(edges.select("dst")).distinct().persist())
 nodes.count()
-csr = build_csr(edges, target_edges_per_block=250_000)
+# fixed layout across both parallelism levels (same physical job): sized
+# for the larger level (~2 blocks per core wave at local[32])
+csr = build_csr(edges, target_edges_per_block=max(250_000, m // 64))
 res = pagerank(spark, csr, nodes, tol=0.0, max_iter={iters})
 med = statistics.median(res.iter_seconds[3:])
 print("JSON" + json.dumps({{"m": m, "median": med,
