@@ -91,19 +91,29 @@ def sumsweep_diameter_radius(
     warmup_sweeps: int = 4,
     max_depth: int = 1024,
     max_sweeps: int = 10_000,
+    symmetric: bool = False,
 ) -> DiameterRadiusResult:
     """Exact directed diameter and radius (forward eccentricities).
 
     Intended for strongly connected inputs (pass the largest SCC); on other
     graphs eccentricities are over each node's reachable set and the
     per-node exact-BFS fallback keeps the result exact.
+
+    ``symmetric=True`` declares the edge set symmetric (the undirected
+    variant, ``SumSweepUndirectedDiameterRadius.java:115``): forward and
+    backward distances coincide, so each sweep costs ONE BFS instead of
+    two — pass a symmetrized edge table (see :func:`sumsweep_undirected`).
     """
     from webgraph_spark.plans.partitioning import partition_for_join
 
     edges = edges.select("src", "dst")
     fwd = partition_for_join(edges, "src").persist()
-    bwd = partition_for_join(transpose(edges), "src").persist()
-    fwd.count(), bwd.count()
+    if symmetric:
+        bwd = fwd
+        fwd.count()
+    else:
+        bwd = partition_for_join(transpose(edges), "src").persist()
+        fwd.count(), bwd.count()
     if nodes is None:
         nodes = (
             edges.select(F.col("src").alias("id"))
@@ -127,8 +137,8 @@ def sumsweep_diameter_radius(
         nonlocal bounds, dl, ru
         dist_f = _sssp(fwd, w, max_depth).persist()
         ecc_f, far_f = _ecc_far(dist_f)
-        dist_b = _sssp(bwd, w, max_depth)
-        res.bfs_runs += 2
+        dist_b = dist_f if symmetric else _sssp(bwd, w, max_depth)
+        res.bfs_runs += 1 if symmetric else 2
         res.ecc_exact[w] = ecc_f
         done.add(w)
         if ecc_f > dl:
@@ -193,3 +203,18 @@ def sumsweep_diameter_radius(
     res.diameter, res.radius = dl, ru
     fwd.unpersist(), bwd.unpersist()
     return res
+
+
+def sumsweep_undirected(
+    edges: DataFrame, nodes: DataFrame | None = None, **kwargs
+) -> DiameterRadiusResult:
+    """Exact UNDIRECTED diameter/radius
+    (``SumSweepUndirectedDiameterRadius.java:115``): symmetrize the arcs,
+    then run the directed machinery with ``symmetric=True`` — forward and
+    backward distances coincide, so each sweep is a single BFS. Intended
+    for one connected component (compose with ``extract_component``)."""
+    from webgraph_spark.operators.transform import symmetrize
+
+    return sumsweep_diameter_radius(
+        symmetrize(edges), nodes, symmetric=True, **kwargs
+    )

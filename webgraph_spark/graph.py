@@ -129,10 +129,17 @@ class LinkGraph:
         return build_csr(self.edges, **kwargs)
 
     def pagerank(self, **kwargs):
-        from webgraph_spark.algo.pagerank import pagerank
-
+        """Block-vector CSR PageRank (the scale path); pass
+        ``strategy='rows'`` for the row-state differential kernel."""
+        strategy = kwargs.pop("strategy", "block")
         csr = kwargs.pop("csr", None) or self.to_csr()
-        return pagerank(self.edges.sparkSession, csr, self.nodes(), **kwargs)
+        if strategy == "rows":
+            from webgraph_spark.algo.pagerank import pagerank
+
+            return pagerank(self.edges.sparkSession, csr, self.nodes(), **kwargs)
+        from webgraph_spark.algo.pagerank_block import pagerank_block
+
+        return pagerank_block(self.edges.sparkSession, csr, self.nodes(), **kwargs)
 
     def connected_components(self, **kwargs):
         from webgraph_spark.algo.components import hash_min_components
@@ -168,6 +175,25 @@ class LinkGraph:
         from webgraph_spark.algo.betweenness import betweenness
 
         return betweenness(self.edges, self.nodes(), **kwargs)
+
+    def diameter_radius(self, **kwargs):
+        """Exact directed diameter/radius (SumSweep); intended for strongly
+        connected graphs — compose with largest-SCC extraction otherwise."""
+        from webgraph_spark.algo.sumsweep import sumsweep_diameter_radius
+
+        return sumsweep_diameter_radius(self.edges, self.nodes(), **kwargs)
+
+    def has_arcs(self, pairs: DataFrame, csr=None) -> DataFrame:
+        """Bulk adjacency probes (EFGraph skipTo analogue) over CSR blocks."""
+        from webgraph_spark.plans.csr import csr_has_arcs
+
+        return csr_has_arcs(csr or self.to_csr(), pairs)
+
+    def permute_gray(self) -> DataFrame:
+        """(id, new_id) Gray-code compression ordering."""
+        from webgraph_spark.operators.permutations import gray_code_permutation
+
+        return gray_code_permutation(self.edges, self.nodes())
 
     def save(self, path: str, properties: dict | None = None) -> dict:
         from webgraph_spark.sources.tables import save_graph
