@@ -271,3 +271,30 @@ def test_cosine_topk_ivf_recall(spark):
     full = cosine_topk_ivf(emb, q, k=5, n_centroids=6, nprobe=6)
     fu = {(r["query_id"], r["neighbor_id"]) for r in full.collect()}
     assert fu == ex
+
+
+# ---------------------------------------------------------------------------
+# Top-k geometric centrality (HyperBall-pruned)
+# ---------------------------------------------------------------------------
+
+
+def test_top_k_geometric_matches_exact(spark):
+    from webgraph_spark.algo.geometric import geometric_centralities, top_k_geometric
+
+    rng = np.random.default_rng(13)
+    n = 60
+    arcs = sorted({(int(a), int(b)) for a, b in rng.integers(0, n, (400, 2))})
+    e = _df(spark, arcs)
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    exact = geometric_centralities(e, nodes)
+    want = [
+        r["id"]
+        for r in exact.orderBy(F.desc("harmonic"), F.asc("id")).limit(5).collect()
+    ]
+    got = [
+        r["id"]
+        for r in top_k_geometric(e, nodes, k=5, metric="harmonic", log2m=9)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == want

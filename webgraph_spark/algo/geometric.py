@@ -89,3 +89,86 @@ def geometric_centralities(
             "exponential",
         )
     )
+
+
+def top_k_geometric(
+    edges: DataFrame,
+    nodes: DataFrame,
+    k: int = 10,
+    metric: str = "harmonic",
+    log2m: int = 8,
+    slack: float = 3.0,
+    max_depth: int = 64,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Top-k nodes by a geometric centrality, HyperBall-pruned.
+
+    Reference: ``algo/TopKGeometricCentrality.java:80`` prunes per-source
+    BFS with running cutoff bounds. The distributed analogue prunes the
+    SOURCE SET instead: one HyperBall pass scores every node approximately;
+    only nodes whose approximate score could plausibly reach the k-th
+    approximate score — within ``slack`` relative standard deviations
+    (RSD ≈ 1.06/√m, m = 2^log2m) — run the exact all-sources BFS. The
+    exact phase then re-ranks the (typically ≪ n) candidates.
+
+    The guarantee is probabilistic with the standard HLL confidence (each
+    score within slack·RSD in the usual concentration sense); slack=3 makes
+    a missed true-top-k node a ≥3σ event per node. Exact fallback: pass
+    ``slack=float('inf')`` to score everything (degenerates to
+    :func:`geometric_centralities` + sort).
+    """
+    from webgraph_spark.algo.hyperball import centralities, hyperball
+
+    if metric not in ("harmonic", "closeness", "lin", "reachable"):
+        raise ValueError(f"unsupported metric {metric!r}")
+    rsd = 1.06 / (1 << log2m) ** 0.5
+    approx = centralities(hyperball(edges, nodes, log2m=log2m)).persist()
+    kth = (
+        approx.orderBy(F.desc(metric))
+        .limit(k)
+        .agg(F.min(metric))
+        .collect()[0][0]
+        or 0.0
+    )
+    # any node whose approx score could exceed the k-th approx score after
+    # undoing up to slack·RSD error on both sides is a candidate
+    threshold = kth * (1.0 - slack * rsd) / (1.0 + slack * rsd)
+    cands = approx.filter(F.col(metric) >= threshold).select("id")
+    pairs = all_pairs_distances(edges, cands, max_depth)
+    agg = (
+        pairs.filter(F.col("dist") > 0)
+        .groupBy(F.col("s").alias("id"))
+        .agg(
+            F.count(F.lit(1)).alias("__r_out"),
+            F.sum("dist").alias("sum_dist"),
+            F.sum(1.0 / F.col("dist")).alias("harmonic"),
+            F.sum(F.pow(F.lit(alpha), F.col("dist"))).alias("exponential"),
+        )
+    )
+    exact = (
+        cands.join(agg, "id", "left")
+        .na.fill({"__r_out": 0, "sum_dist": 0, "harmonic": 0.0})
+        .select(
+            "id",
+            (F.col("__r_out") + 1).cast("double").alias("reachable"),
+            F.when(F.col("sum_dist") > 0, 1.0 / F.col("sum_dist"))
+            .otherwise(0.0)
+            .alias("closeness"),
+            "harmonic",
+            F.when(
+                F.col("sum_dist") > 0,
+                (F.col("__r_out") + 1) * (F.col("__r_out") + 1)
+                / F.col("sum_dist").cast("double"),
+            )
+            .otherwise(1.0)
+            .alias("lin"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc(metric), F.asc("id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("rank", "id", metric)
+    )
