@@ -24,24 +24,33 @@ def bfs_distances(
     """Distances from a source set ``(id)`` along directed arcs -> (id, dist).
 
     Unreached nodes are absent (the reference marks them -1). Level loop =
-    driver iterations; each level is one join + anti-join of the frontier.
+    driver iterations; each level is ONE Spark action: the frontier size
+    rides the eager checkpoint as an observed metric (no separate
+    ``isEmpty`` job), and ``visited`` stays a lazy union of the
+    already-checkpointed level frames (re-checkpointing the growing union
+    every level would re-copy all visited rows per level — O(levels·n)).
     """
-    visited = sources.select("id").withColumn("dist", F.lit(0)).localCheckpoint(
-        eager=True
+    from pyspark.sql import Observation
+
+    frontier = (
+        sources.select("id").withColumn("dist", F.lit(0))
+        .transform(checkpoint_state)
     )
-    frontier = visited
+    visited = frontier
     for depth in range(1, max_depth + 1):
+        obs = Observation()
         nxt = (
             edges.join(frontier, edges["src"] == frontier["id"])
             .select(F.col("dst").alias("id"))
             .distinct()
             .join(visited.select("id"), "id", "left_anti")
             .withColumn("dist", F.lit(depth))
+            .observe(obs, F.count(F.lit(1)).alias("c"))
             .transform(checkpoint_state)
         )
-        if nxt.isEmpty():
+        if int(obs.get["c"] or 0) == 0:
             break
-        visited = visited.unionByName(nxt).transform(checkpoint_state)
+        visited = visited.unionByName(nxt)
         frontier = nxt
     return visited
 

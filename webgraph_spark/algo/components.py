@@ -18,8 +18,6 @@ from pyspark.sql import functions as F
 
 from webgraph_spark.plans.iterate import checkpoint_state
 
-from webgraph_spark.operators.transform import symmetrize
-
 
 @dataclass
 class ComponentsResult:
@@ -50,9 +48,9 @@ def hash_min_components(
     it with the labels already computed so earlier rounds aren't wasted.
     ``None`` disables the fallback.
     """
-    from webgraph_spark.plans.partitioning import partition_for_join
+    from webgraph_spark.plans.partitioning import symmetrize_for_join
 
-    sym = partition_for_join(symmetrize(edges), "src").persist()
+    sym = symmetrize_for_join(edges, "src").persist()
     sym.count()
     if nodes is None:
         nodes = (

@@ -17,8 +17,6 @@ from pyspark.sql import functions as F
 
 from webgraph_spark.plans.iterate import checkpoint_state
 
-from webgraph_spark.operators.transform import symmetrize
-
 
 @dataclass
 class LabelPropResult:
@@ -40,9 +38,9 @@ def label_propagation(
     (synchronous LPA can 2-cycle on bipartite structure — the cap is part of
     the deterministic contract, mirrored by the fixed-iteration SQL oracle).
     """
-    from webgraph_spark.plans.partitioning import partition_for_join
+    from webgraph_spark.plans.partitioning import symmetrize_for_join
 
-    sym = partition_for_join(symmetrize(edges), "src").persist()
+    sym = symmetrize_for_join(edges, "src").persist()
     sym.count()
     if nodes is None:
         nodes = (
@@ -58,6 +56,7 @@ def label_propagation(
     ).transform(checkpoint_state)
 
     changed_set = labels.select("id")  # first round: everyone "changed"
+    every_node_changed = True  # first round: affected set == all dsts
     result = LabelPropResult(labels=labels, iterations=start_iteration)
     for it in range(start_iteration, max_iter):
         t0 = time.monotonic()
@@ -66,17 +65,22 @@ def label_propagation(
         # the vote ONLY for dsts adjacent to the changed set (the mode still
         # needs ALL their neighbours' labels — LPA is not monotone like
         # hash-min, so the restriction is on which dsts recompute, not on
-        # which sources send).
-        affected = (
-            sym.join(
-                changed_set.withColumnRenamed("id", "src"), "src", "leftsemi"
+        # which sources send). On the first round every node changed, so
+        # the affected set is exactly {dst of sym} and the two restriction
+        # joins are identity — skip them (saves a distinct + semi-join).
+        if every_node_changed:
+            vote_edges = sym
+        else:
+            affected = (
+                sym.join(
+                    changed_set.withColumnRenamed("id", "src"), "src", "leftsemi"
+                )
+                .select("dst")
+                .distinct()
             )
-            .select("dst")
-            .distinct()
-        )
+            vote_edges = sym.join(affected, "dst", "leftsemi")
         counts = (
-            sym.join(affected, "dst", "leftsemi")
-            .join(labels, F.col("src") == labels["id"])
+            vote_edges.join(labels, F.col("src") == labels["id"])
             .groupBy(F.col("dst"), F.col("label"))
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
@@ -107,6 +111,7 @@ def label_propagation(
         changed = int(obs.get["c"] or 0)
         new_labels = updated.select("id", "label")
         changed_set = updated.filter(F.col("__ch") == 1).select("id")
+        every_node_changed = False
         wall = time.monotonic() - t0
         result.changed_per_iter.append(changed)
         result.iter_seconds.append(wall)

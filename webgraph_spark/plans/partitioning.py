@@ -83,6 +83,33 @@ def partition_for_join(
     return df.repartition(p, key).sortWithinPartitions(key)
 
 
+def symmetrize_for_join(
+    edges: DataFrame, key: str = "src", num_partitions: int | None = None
+) -> DataFrame:
+    """Symmetrized edge set, hash-partitioned + sorted on ``key``, in ONE
+    shuffle.
+
+    ``partition_for_join(symmetrize(edges))`` costs two exchanges: the
+    dedup aggregate shuffles by (src, dst), then the repartition shuffles by
+    src. Hash-partitioning by src FIRST satisfies the dedup aggregate's
+    clustered-distribution requirement (src ⊆ {src, dst} — equal (src, dst)
+    pairs co-locate), so union → repartition(src) → dropDuplicates → sort
+    plans with a single exchange and the persisted output keeps
+    HashPartitioning(src) for per-iteration join reuse. Used by every
+    undirected fixpoint (CC, LPA).
+    """
+    spark = edges.sparkSession
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return (
+        sym.repartition(p, key)
+        .dropDuplicates(["src", "dst"])
+        .sortWithinPartitions(key)
+    )
+
+
 def salted_sum(
     df: DataFrame,
     key: str,
