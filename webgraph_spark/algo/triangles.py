@@ -86,6 +86,73 @@ def triangle_count_adjacency(edges: DataFrame) -> int:
     return int(row["total"] or 0)
 
 
+def local_clustering_coefficient(edges: DataFrame) -> DataFrame:
+    """``(id, lcc)`` over the symmetrized loop-free graph:
+    lcc(v) = 2·T(v) / (d(v)·(d(v)−1)), 0 when d(v) < 2.
+
+    Reuses the degree-oriented triangle corners plus the undirected degree
+    table — both single aggregates over the one-shuffle symmetrized set.
+    Every node gets a row (zero-filled), matching the usual definition.
+    """
+    spark = edges.sparkSession
+    p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    simple = (
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .repartition(p, "src")
+        .dropDuplicates(["src", "dst"])
+        .persist()
+    )
+    deg = simple.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    tri = triangles_per_vertex(simple)
+    out = (
+        deg.join(tri, "id", "left")
+        .select(
+            "id",
+            F.when(
+                F.col("deg") >= 2,
+                2.0
+                * F.coalesce("triangles", F.lit(0))
+                / (F.col("deg") * (F.col("deg") - 1)),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("lcc"),
+        )
+    )
+    return out
+
+
+def global_clustering_coefficient(edges: DataFrame) -> float:
+    """Transitivity: 3·triangles / wedges, wedges = Σ_v d(v)·(d(v)−1)/2
+    over the symmetrized loop-free graph. 0.0 on wedge-free graphs."""
+    spark = edges.sparkSession
+    p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    simple = (
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .repartition(p, "src")
+        .dropDuplicates(["src", "dst"])
+        .persist()
+    )
+    wedges_row = (
+        simple.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .agg(F.sum(F.col("d") * (F.col("d") - 1) / 2).alias("w"))
+        .collect()[0]
+    )
+    wedges = float(wedges_row["w"] or 0.0)
+    if wedges == 0.0:
+        return 0.0
+    t = triangle_count_adjacency(simple)
+    return 3.0 * t / wedges
+
+
 def triangles_per_vertex(edges: DataFrame) -> DataFrame:
     """``(id, triangles)`` — number of triangles each vertex participates in.
     Vertices in no triangle are omitted (join against nodes to zero-fill)."""

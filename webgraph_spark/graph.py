@@ -161,6 +161,21 @@ class LinkGraph:
 
         return triangle_count_adjacency(self.edges)
 
+    def k_core(self, k: int, **kwargs):
+        from webgraph_spark.algo.kcore import k_core
+
+        return k_core(self.edges, k, **kwargs)
+
+    def hits(self, **kwargs):
+        from webgraph_spark.algo.hits import hits
+
+        return hits(self.edges, self.nodes(), **kwargs)
+
+    def clustering_coefficients(self) -> DataFrame:
+        from webgraph_spark.algo.triangles import local_clustering_coefficient
+
+        return local_clustering_coefficient(self.edges)
+
     def bfs(self, sources, **kwargs):
         from webgraph_spark.algo.bfs import bfs_distances
 
