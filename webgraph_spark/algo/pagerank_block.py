@@ -220,6 +220,23 @@ def pagerank_block(
 
     slotform = None
     if precompute_slots:
+        # reuse a previously built slot-form for the SAME layout: keyed by
+        # the shuffle width, density threshold, and the node-range layout
+        # (block ids + lo bounds) that slot coordinates are relative to.
+        # Typical pattern served: a fixed-iteration run followed by a
+        # run-to-convergence on one CsrGraph pays the decode+shuffle once.
+        cache_key = (
+            shuffle_parts,
+            float(dense_threshold),
+            rng_bid.tobytes(),
+            rng_lo.tobytes(),
+        )
+        cached = getattr(csr, "_slotform_cache", None)
+        if cached is not None and cached[0] == cache_key:
+            slotform = cached[1]
+            blocks.unpersist()  # the cached slot-form replaces it entirely
+
+    if precompute_slots and slotform is None:
 
         def slotform_kernel(batches):
             for batch in batches:
@@ -293,6 +310,9 @@ def pagerank_block(
         )
         slotform.count()
         blocks.unpersist()
+        csr._slotform_cache = (cache_key, slotform)
+
+    if precompute_slots:
 
         def spmv_slots_kernel(
             slot_tbl: "pa.Table", state_tbl: "pa.Table"
@@ -433,8 +453,8 @@ def pagerank_block(
                     }
                 )
 
-    if slotform is not None:
-        slotform.unpersist()  # state is checkpointed; ranks don't need it
+    # the slot-form stays persisted: it lives in csr._slotform_cache for the
+    # next run on this CsrGraph (dropped with the CsrGraph / session)
     result.ranks = state.mapInArrow(explode_kernel, schema="id long, rank double")
     return result
 

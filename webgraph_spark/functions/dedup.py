@@ -397,19 +397,33 @@ def simhash_col(text_col: str = "text", seed: int = 42) -> Column:
 
     @pandas_udf("long")
     def fold(hashes: pd.Series) -> pd.Series:
+        # whole-batch vectorization: one (total_tokens, 64) bit matrix and
+        # one add.reduceat over document offsets — no per-row Python loop
         out = np.zeros(len(hashes), dtype=np.int64)
-        for i, arr in enumerate(hashes):
-            if arr is None or len(arr) == 0:
-                continue
-            h = np.asarray(arr, dtype=np.int64).astype(np.uint64)
-            # bit matrix: (n_tokens, 64) of 0/1 votes
-            bits = (h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        lens = np.fromiter(
+            (len(h) if h is not None else 0 for h in hashes),
+            dtype=np.int64,
+            count=len(hashes),
+        )
+        nonempty = lens > 0
+        if not nonempty.any():
+            return pd.Series(out)
+        flat = np.concatenate(
+            [np.asarray(h, dtype=np.int64) for h in hashes
+             if h is not None and len(h)]
+        ).astype(np.uint64)
+        offsets = np.zeros(int(nonempty.sum()), dtype=np.int64)
+        np.cumsum(lens[nonempty][:-1], out=offsets[1:])
+        doc_lens = lens[nonempty]
+        sigs = np.zeros(doc_lens.size, dtype=np.uint64)
+        # per-bit vectorized vote: 64 reduceats over the flat token stream
+        # (a full (tokens, 64) bit matrix would be 64x the stream's memory)
+        for b in range(64):
+            ones = ((flat >> np.uint64(b)) & np.uint64(1)).astype(np.int64)
+            sums = np.add.reduceat(ones, offsets)
             # int64, not uint64: negative vote totals must stay negative
-            votes = bits.sum(axis=0).astype(np.int64) * 2 - len(h)
-            sig = np.uint64(0)
-            for b in np.nonzero(votes > 0)[0]:
-                sig |= np.uint64(1) << np.uint64(b)
-            out[i] = sig.astype(np.int64)
+            sigs |= ((sums * 2 - doc_lens) > 0).astype(np.uint64) << np.uint64(b)
+        out[nonempty] = sigs.astype(np.int64)
         return pd.Series(out)
 
     return fold(tok_hashes)
