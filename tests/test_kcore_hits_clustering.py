@@ -138,6 +138,18 @@ def test_local_clustering_coefficient(spark):
         assert got[v] == pytest.approx(ref[v], abs=1e-12)
 
 
+def test_degenerate_inputs(spark):
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert k_core(empty, 2).nodes.count() == 0
+    assert local_clustering_coefficient(empty).count() == 0
+    assert global_clustering_coefficient(empty) == 0.0
+    res = hits(empty, nodes=spark.createDataFrame([(1,), (2,)], "id long"))
+    got = {r["id"]: (r["hub"], r["auth"]) for r in res.scores.collect()}
+    assert set(got) == {1, 2}  # arcless graph keeps the uniform start
+    only_loops = edge_df(spark, [(5, 5)])
+    assert k_core(only_loops, 1).nodes.count() == 0  # loops dropped
+
+
 def test_global_clustering_coefficient(spark):
     adj = _sym_adj(ARCS)
     wedges = sum(len(n) * (len(n) - 1) / 2 for n in adj.values())

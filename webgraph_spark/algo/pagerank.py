@@ -298,7 +298,13 @@ def pagerank_edges(
         .na.fill({"__has_out": 0.0})
         .persist()
     )
-    edeg = edges.join(deg.withColumnRenamed("id", "src"), "src").persist()
+    from webgraph_spark.plans.partitioning import partition_for_join
+
+    # big side cached hash-partitioned+sorted on the join key: the per-
+    # iteration sort-merge join re-exchanges ONLY the O(n) rank table
+    edeg = partition_for_join(
+        edges.join(deg.withColumnRenamed("id", "src"), "src"), "src"
+    ).persist()
     edeg.count()
     ranks = nodes.withColumn("rank", F.lit(1.0 / n)).transform(checkpoint_state)
     non_dangling = n_src / n
