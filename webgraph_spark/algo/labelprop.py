@@ -79,18 +79,16 @@ def label_propagation(
                 .distinct()
             )
             vote_edges = sym.join(affected, "dst", "leftsemi")
-        counts = (
+        # winner per dst in ONE hash aggregate: mode(label, deterministic=
+        # True) = most frequent label, ties to the LOWEST value — exactly
+        # this operator's tie-break contract. The map-side partial buffers
+        # the per-dst label->count map, so shuffle bytes match the old
+        # two-phase (dst,label,cnt) plan while dropping its second
+        # aggregate's exchange (measured ~2x on the 3-iter bench at sf0.1).
+        winner = (
             vote_edges.join(labels, F.col("src") == labels["id"])
-            .groupBy(F.col("dst"), F.col("label"))
-            .agg(F.count(F.lit(1)).alias("cnt"))
-        )
-        # winner per dst via max_by over (cnt, -label): max count, ties to
-        # the SMALLEST label — a hash aggregate instead of a per-dst window
-        # sort (one less sort+exchange in the loop)
-        winner = counts.groupBy(F.col("dst").alias("id")).agg(
-            F.max_by(
-                "label", F.struct(F.col("cnt"), (-F.col("label")).alias("nl"))
-            ).alias("new_label")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.mode("label", True).alias("new_label"))
         )
         # changed flag computed in the same join/select that applies the
         # update; the changed-count rides on the eager checkpoint job as an
