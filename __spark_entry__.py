@@ -176,6 +176,9 @@ SYM_CTE = (
 NORM = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
 TOKS = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')"
 
+# the cross-engine 60-bit hash (functions/porthash.py) — DuckDB side
+from webgraph_spark.functions.porthash import portable_hash60_sql as _PH60
+
 # directed SCC pairs (used by scc_components, graph_stats, diameter_radius)
 _SCC_CTES = (
     "fr AS (SELECT id AS s, id AS d FROM nodes "
@@ -928,9 +931,19 @@ def _q_minhash_neardup(spark, sf_dir):
 
 
 def _q_simhash(spark, sf_dir):
+    """SimHash near-dup pairs over the PORTABLE (md5-based) token hash so
+    the whole pipeline — tokenize, bit votes, pigeonhole banding, popcount
+    verify — is replayed by the DuckDB oracle; the throughput default
+    (xxhash64) shares every line but the hash primitive."""
     from webgraph_spark.functions.dedup import simhash_pairs
 
-    return simhash_pairs(_docs(spark, sf_dir), "doc_id", "text", max_hamming=8)
+    out = simhash_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", max_hamming=8,
+        hash_fn="portable",
+    )
+    return out.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
 
 
 def _q_cosine_topk(spark, sf_dir):
@@ -1411,6 +1424,29 @@ SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM (
   SELECT id_a, id_b, i / CAST(sa.c + sb.c - i AS DOUBLE) AS j
   FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b) p
 WHERE j >= 0.2
+""",
+        # SimHash over the portable 60-bit md5 hash (functions/porthash.py):
+        # bit votes -> signature -> 9-chunk pigeonhole banding (width 7) ->
+        # popcount verify, term-for-term the Spark plan at max_hamming=8.
+        "simhash": f"""
+WITH tk AS (SELECT doc_id, {TOKS} AS tk FROM documents),
+th AS (SELECT doc_id, {_PH60("t", "'#42'")} AS h
+  FROM (SELECT doc_id, unnest(tk) AS t FROM tk)),
+nt AS (SELECT doc_id, count(*) AS n FROM th GROUP BY doc_id),
+votes AS (SELECT doc_id, b, sum((h >> b) & 1) AS ones
+  FROM th CROSS JOIN generate_series(0, 59) g(b) GROUP BY doc_id, b),
+sg AS (SELECT v.doc_id,
+  sum(CASE WHEN v.ones * 2 > nt.n THEN (1::BIGINT << v.b) ELSE 0 END) AS sig
+  FROM votes v JOIN nt ON nt.doc_id = v.doc_id GROUP BY v.doc_id),
+sigs AS (SELECT d.doc_id, COALESCE(sg.sig, 0) AS sig
+  FROM documents d LEFT JOIN sg ON sg.doc_id = d.doc_id),
+ch AS (SELECT doc_id, sig, c, (sig >> (c * 7)) & 127 AS v
+  FROM sigs CROSS JOIN generate_series(0, 8) g(c)),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+  a.sig AS sa, b.sig AS sb
+  FROM ch a JOIN ch b ON a.c = b.c AND a.v = b.v AND a.doc_id < b.doc_id)
+SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 8
 """,
         "cosine_topk": """
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),

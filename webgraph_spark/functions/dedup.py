@@ -382,18 +382,30 @@ def dedup_near(
     return df.join(keep, id_col, "leftsemi")
 
 
-def simhash_col(text_col: str = "text", seed: int = 42) -> Column:
+def simhash_col(
+    text_col: str = "text", seed: int = 42, hash_fn: str = "xxhash64"
+) -> Column:
     """64-bit SimHash of whitespace tokens, Arrow-vectorized.
 
     One pandas UDF: per batch, hash tokens (numpy via pandas hashing of the
     exploded arrays would shuffle — instead we fold Python's stable-by-value
     xxhash from Spark first). Implemented as: Spark computes the token hash
     arrays JVM-side; the UDF only does the bit-vote accumulation in numpy.
+
+    ``hash_fn="portable"`` swaps the token hash for the md5-based 60-bit
+    hash a DuckDB oracle can replay (see ``functions/porthash.py``); bits
+    60-63 of the signature are then always 0 on both sides.
     """
     toks = F.filter(
         F.split(normalized_text(text_col), " "), lambda t: t != F.lit("")
     )
-    tok_hashes = F.transform(toks, lambda t: F.xxhash64(t, F.lit(seed)))
+    if hash_fn == "portable":
+        from webgraph_spark.functions.porthash import portable_hash60
+
+        salt = f"#{seed}"
+        tok_hashes = F.transform(toks, lambda t: portable_hash60(t, salt))
+    else:
+        tok_hashes = F.transform(toks, lambda t: F.xxhash64(t, F.lit(seed)))
 
     @pandas_udf("long")
     def fold(hashes: pd.Series) -> pd.Series:
@@ -435,6 +447,7 @@ def simhash_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     seed: int = 42,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs with SimHash hamming distance <= max_hamming.
 
@@ -445,7 +458,8 @@ def simhash_pairs(
     chunks = max_hamming + 1
     width = 64 // chunks
     sigs = df.select(
-        F.col(id_col).alias("id"), simhash_col(text_col, seed).alias("sig")
+        F.col(id_col).alias("id"),
+        simhash_col(text_col, seed, hash_fn).alias("sig"),
     ).persist()
     mask = (1 << width) - 1
     chunk_arr = F.array(
