@@ -909,12 +909,18 @@ def _q_ngram_jaccard(spark, sf_dir):
 
 def _q_minhash_neardup(spark, sf_dir):
     """MinHash-LSH verified pairs + transitive near-dup cluster ids in one
-    frame (pair finder composed with the hash-min CC kernel)."""
+    frame (pair finder composed with the hash-min CC kernel).
+
+    Runs over the PORTABLE (md5-based, mod 2^31-1) hash so the DuckDB oracle
+    replays the ENTIRE pipeline — shingling, signatures, banding, candidate
+    join, exact-Jaccard verify, transitive closure; the throughput default
+    (xxhash64 mod 2^64) shares every line but the hash primitive."""
     from webgraph_spark.algo.components import hash_min_components
 
     docs = _docs(spark, sf_dir)
     pairs = minhash_lsh_pairs(
-        docs, "doc_id", "text", n=3, num_hashes=64, bands=16, threshold=0.2
+        docs, "doc_id", "text", n=3, num_hashes=64, bands=16, threshold=0.2,
+        hash_fn="portable",
     ).persist()
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     comps = hash_min_components(
@@ -959,9 +965,13 @@ def _q_cosine_topk(spark, sf_dir):
 
 
 def _q_cosine_topk_lsh(spark, sf_dir):
+    """LSH-bucketed approximate top-k over the PORTABLE (md5-derived,
+    integer-exact) hyperplane buckets so the DuckDB oracle replays bucketing,
+    candidate join, exact re-score, and top-k; the throughput default keeps
+    RNG float hyperplanes."""
     emb = _emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < 8)
-    out = cosine_topk_lsh(emb, q, dim=64, k=5)
+    out = cosine_topk_lsh(emb, q, dim=64, k=5, hash_fn="portable")
     return out.select(
         "query_id",
         "neighbor_id",
@@ -1425,6 +1435,46 @@ SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM (
   FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b) p
 WHERE j >= 0.2
 """,
+        # full MinHash-LSH replay over the portable hash (functions/
+        # porthash.py): md5-60 shingle hashes mod P=2^31-1, md5-derived
+        # universal-hash coefficients, 16 bands x 4 rows keyed on the raw
+        # signature slice, exact-Jaccard verification, then transitive
+        # closure for cluster ids — term-for-term the Spark plan.
+        "minhash_neardup": f"""
+WITH RECURSIVE t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+sh AS (SELECT DISTINCT doc_id, unnest(CASE WHEN len(toks) >= 3
+  THEN list_transform(generate_series(1, len(toks) - 2),
+       i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+  ELSE [array_to_string(toks, ' ')] END) AS g FROM t),
+hh AS (SELECT doc_id, {_PH60("g", "'#42'")} % 2147483647 AS h FROM sh),
+ab AS (SELECT k,
+  {_PH60("'a'", "k::VARCHAR || '#42'")} % 2147483646 + 1 AS a,
+  {_PH60("'b'", "k::VARCHAR || '#42'")} % 2147483647 AS b
+  FROM generate_series(0, 63) g(k)),
+sig AS (SELECT doc_id, k, (k // 4)::BIGINT AS band,
+  min((ab.a * hh.h + ab.b) % 2147483647) AS s
+  FROM hh CROSS JOIN ab GROUP BY doc_id, k),
+bd AS (SELECT doc_id, band, list(s ORDER BY k) AS bv
+  FROM sig GROUP BY doc_id, band),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bd a JOIN bd b ON a.band = b.band AND a.bv = b.bv
+  AND a.doc_id < b.doc_id),
+sz AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+inter AS (SELECT id_a, id_b, count(*) AS i FROM cand
+  JOIN sh a ON a.doc_id = id_a JOIN sh b ON b.doc_id = id_b AND a.g = b.g
+  GROUP BY id_a, id_b),
+pairs AS (SELECT id_a, id_b, j FROM (
+  SELECT id_a, id_b, i / CAST(sa.c + sb.c - i AS DOUBLE) AS j
+  FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b)
+  WHERE j >= 0.2),
+msym AS (SELECT id_a AS s, id_b AS d FROM pairs
+  UNION SELECT id_b, id_a FROM pairs),
+reach AS (SELECT doc_id AS id, doc_id AS comp FROM documents
+  UNION SELECT e.d AS id, r.comp FROM reach r JOIN msym e ON e.s = r.id),
+comps AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id)
+SELECT p.id_a, p.id_b, ROUND(p.j, 6) AS jaccard, c.comp AS cluster
+FROM pairs p JOIN comps c ON c.id = p.id_a
+""",
         # SimHash over the portable 60-bit md5 hash (functions/porthash.py):
         # bit votes -> signature -> 9-chunk pigeonhole banding (width 7) ->
         # popcount verify, term-for-term the Spark plan at max_hamming=8.
@@ -1456,6 +1506,39 @@ sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
     / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e)))
     AS score
   FROM v c, q WHERE c.vec_id <> q.vec_id),
+r AS (SELECT query_id, neighbor_id, score,
+  row_number() OVER (PARTITION BY query_id
+                     ORDER BY score DESC, neighbor_id ASC) AS rn FROM sc)
+SELECT query_id, neighbor_id, ROUND(score, 6) AS score,
+  CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 5
+""",
+        # full LSH-top-k replay: md5-derived ±1 hyperplanes, sign bits over
+        # the floor-quantized int64 projection (bit-identical buckets across
+        # engines), bucket-collision candidates, exact cosine re-score.
+        # 6 tables x 10 planes, dim 64, k=5 — the Spark plan's constants.
+        "cosine_topk_lsh": f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+qz AS (SELECT vec_id,
+  list_transform(e, x -> CAST(floor(x * 1048576.0) AS BIGINT)) AS q FROM v),
+sgn AS (SELECT t, p, d, CASE WHEN
+  (({_PH60("'hp42:' || t::VARCHAR || ':' || p::VARCHAR || ':' || (d // 60)::VARCHAR")}
+    >> (d % 60)) & 1) = 1 THEN 1 ELSE -1 END AS s
+  FROM generate_series(0, 5) gt(t), generate_series(0, 9) gp(p),
+       generate_series(0, 63) gd(d)),
+proj AS (SELECT z.vec_id, s.t, s.p, sum(z.q[s.d + 1] * s.s) AS dp
+  FROM qz z CROSS JOIN sgn s GROUP BY z.vec_id, s.t, s.p),
+bux AS (SELECT vec_id, t,
+  sum(CASE WHEN dp > 0 THEN (1::BIGINT << p) ELSE 0 END) AS bk
+  FROM proj GROUP BY vec_id, t),
+cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM bux c JOIN bux q ON c.t = q.t AND c.bk = q.bk
+  WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id),
+sc AS (SELECT query_id, neighbor_id,
+  list_dot_product(qe.e, ce.e)
+    / (sqrt(list_dot_product(qe.e, qe.e)) * sqrt(list_dot_product(ce.e, ce.e)))
+    AS score
+  FROM cand JOIN v qe ON qe.vec_id = query_id
+  JOIN v ce ON ce.vec_id = neighbor_id),
 r AS (SELECT query_id, neighbor_id, score,
   row_number() OVER (PARTITION BY query_id
                      ORDER BY score DESC, neighbor_id ASC) AS rn FROM sc)

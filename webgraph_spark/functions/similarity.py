@@ -98,6 +98,38 @@ def _hyperplane_bits_udf(dim: int, num_planes: int, seed: int, table: int):
     return bucket
 
 
+def _portable_hyperplane_bits_udf(dim: int, num_planes: int, seed: int, table: int):
+    """DuckDB-replayable bucket id (``hash_fn="portable"``).
+
+    The ±1 plane entries come from md5 bits (the porthash scheme:
+    ``sign(p, d) = bit (d mod 60) of ph60("hp{seed}:{table}:{p}:{d//60}")``)
+    and the sign test runs on a floor-quantized INTEGER projection
+    (``floor(x * 2^20)``, |sum| < 2^28 — exact int64 in numpy AND SQL), so
+    bucket ids are bit-identical across engines: a float dot product's
+    last-ulp summation-order difference would otherwise flip sign bits near
+    zero. Quantization only perturbs the LSH partition boundary, not the
+    exact re-scoring downstream.
+    """
+    import hashlib
+
+    signs = np.empty((dim, num_planes), dtype=np.int64)
+    for p in range(num_planes):
+        for d in range(dim):
+            key = f"hp{seed}:{table}:{p}:{d // 60}"
+            h = int(hashlib.md5(key.encode()).hexdigest()[:15], 16)
+            signs[d, p] = 1 if (h >> (d % 60)) & 1 else -1
+
+    @pandas_udf("long")
+    def bucket(vecs: pd.Series) -> pd.Series:
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        qz = np.floor(mat * 1048576.0).astype(np.int64)  # (batch, dim)
+        bits = (qz @ signs) > 0  # (batch, planes)
+        weights = (1 << np.arange(num_planes, dtype=np.int64))
+        return pd.Series(bits.astype(np.int64) @ weights)
+
+    return bucket
+
+
 def with_lsh_buckets(
     df: DataFrame,
     dim: int,
@@ -105,12 +137,16 @@ def with_lsh_buckets(
     num_planes: int = 12,
     num_tables: int = 4,
     seed: int = 42,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Add ``buckets array<long>`` — one random-hyperplane bucket per table."""
+    make = (
+        _portable_hyperplane_bits_udf
+        if hash_fn == "portable"
+        else _hyperplane_bits_udf
+    )
     cols = [
-        _hyperplane_bits_udf(dim, num_planes, seed, t)(F.col(vec_col)).alias(
-            f"__b{t}"
-        )
+        make(dim, num_planes, seed, t)(F.col(vec_col)).alias(f"__b{t}")
         for t in range(num_tables)
     ]
     out = df.select("*", *cols)
@@ -129,12 +165,17 @@ def cosine_topk_lsh(
     num_planes: int = 10,
     num_tables: int = 6,
     seed: int = 42,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Approximate top-k: candidates share an LSH bucket in >= 1 table, then
-    exact cosine re-scoring. Same output schema as :func:`cosine_topk`."""
+    exact cosine re-scoring. Same output schema as :func:`cosine_topk`.
+
+    ``hash_fn="portable"`` swaps in md5-derived integer-exact buckets
+    (:func:`_portable_hyperplane_bits_udf`) so a DuckDB oracle replays the
+    whole pipeline — bucketing, candidate join, re-score, top-k."""
     e = with_lsh_buckets(
         embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
-        dim, "cv", num_planes, num_tables, seed,
+        dim, "cv", num_planes, num_tables, seed, hash_fn,
     ).select(
         "neighbor_id", "cv",
         F.explode(
@@ -146,7 +187,7 @@ def cosine_topk_lsh(
     ).select("neighbor_id", "cv", F.col("tb.t").alias("t"), F.col("tb.bk").alias("bk"))
     q = with_lsh_buckets(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
-        dim, "qv", num_planes, num_tables, seed,
+        dim, "qv", num_planes, num_tables, seed, hash_fn,
     ).select(
         "query_id", "qv",
         F.explode(
