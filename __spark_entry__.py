@@ -1014,13 +1014,18 @@ def _q_events_windowed(spark, sf_dir):
 
 
 def _q_engine_stats(spark, sf_dir):
-    """HyperBall NF + CSR compression accounting, long format (rows-only:
-    HLL registers are hash-seeded, compression bytes are codec-internal)."""
+    """HyperBall NF + CSR compression accounting, long format.
+
+    Runs the sketch over the PORTABLE (md5-based) register hash so the
+    DuckDB oracle replays the whole HLL pipeline — register index/rank,
+    iterated register max over balls, the estimator with its linear-counting
+    branch, the convergence cut — plus the varint-gap byte accounting of the
+    CSR codec (head zigzag + gap-1 tails as window arithmetic)."""
     from webgraph_spark.plans.csr import compression_stats
 
     e = _edges(spark, sf_dir)
     res = hyperball(e.filter(F.col("dst") < 30), _nodes(e.filter(F.col("dst") < 30)),
-                    log2m=5, max_iter=16)
+                    log2m=5, max_iter=16, hash_fn="portable")
     rows = [(f"nf_{t}", round(v, 3)) for t, v in enumerate(res.nf)]
     s = compression_stats(build_csr(e, num_blocks=8))
     rows += [
@@ -1544,6 +1549,67 @@ r AS (SELECT query_id, neighbor_id, score,
                      ORDER BY score DESC, neighbor_id ASC) AS rn FROM sc)
 SELECT query_id, neighbor_id, ROUND(score, 6) AS score,
   CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 5
+""",
+        # full engine_stats replay: HyperBall-over-portable-hash — register
+        # index j = ph60 % 32, rank rho = trailing zeros + 1 (the
+        # (h & -h) - 1 popcount trick), ball register maxes per radius t,
+        # the HLL estimator with its linear-counting branch, and the
+        # register-fixpoint convergence cut (register sums are monotone, so
+        # fixpoint = first t with an unchanged sum) — plus the CSR codec's
+        # varint byte accounting (zigzag head + gap-1 tails, LEB128 group
+        # counts) as window arithmetic. blocks = 8 asserts the
+        # degree-balanced cut invariant (8 requested -> 8 non-empty).
+        "engine_stats": f"""
+WITH RECURSIVE {EDGES_CTE},
+sub AS (SELECT src, dst FROM edges WHERE dst < 30),
+snodes AS (SELECT DISTINCT id FROM
+  (SELECT src AS id FROM sub UNION ALL SELECT dst FROM sub) t),
+hreg AS (SELECT id,
+  {_PH60("id::VARCHAR || ':0'", "'#j42'")} % 32 AS j,
+  {_PH60("id::VARCHAR || ':0'", "'#h42'")} AS h2 FROM snodes),
+reg AS (SELECT id, j, CASE WHEN h2 = 0 THEN 1
+  ELSE bit_count((h2 & (-h2)) - 1) + 1 END AS rho FROM hreg),
+walk AS (SELECT id AS u, id AS v, 0 AS d FROM snodes
+  UNION SELECT w.u, e.dst, w.d + 1 FROM walk w JOIN sub e ON e.src = w.v
+  WHERE w.d < 16),
+ball AS (SELECT u, v, min(d) AS d FROM walk GROUP BY u, v),
+mjt AS (SELECT b.u, r.j, t.t, max(r.rho) AS mx
+  FROM ball b JOIN reg r ON r.id = b.v
+  CROSS JOIN generate_series(0, 16) t(t) WHERE b.d <= t.t
+  GROUP BY b.u, r.j, t.t),
+regsum AS (SELECT t, sum(mx) AS s FROM mjt GROUP BY t),
+tc AS (SELECT COALESCE(min(a.t), 17) AS cut FROM regsum a
+  JOIN regsum b ON b.t = a.t - 1 AND b.s = a.s),
+est AS (SELECT u, t,
+  CASE WHEN (0.697 * 32.0) * 32.0
+            / ((32 - count(*)) + sum(power(2.0, -mx))) <= 80.0
+        AND (32 - count(*)) > 0
+   THEN 32.0 * ln(32.0 / (32 - count(*)))
+   ELSE (0.697 * 32.0) * 32.0
+        / ((32 - count(*)) + sum(power(2.0, -mx)))
+   END AS e FROM mjt GROUP BY u, t),
+nf AS (SELECT t, sum(e) AS v FROM est GROUP BY t),
+gv AS (SELECT CASE WHEN prev IS NULL THEN
+    CASE WHEN dst >= src THEN 2 * (dst - src) ELSE 2 * (src - dst) - 1 END
+  ELSE dst - prev - 1 END AS v FROM
+  (SELECT src, dst, lag(dst) OVER (PARTITION BY src ORDER BY dst) AS prev
+   FROM edges)),
+comp AS (SELECT
+  sum(CASE WHEN v < 128 THEN 1 WHEN v < 16384 THEN 2
+      WHEN v < 2097152 THEN 3 WHEN v < 268435456 THEN 4
+      WHEN v < 34359738368 THEN 5 WHEN v < 4398046511104 THEN 6
+      WHEN v < 562949953421312 THEN 7 WHEN v < 72057594037927936 THEN 8
+      ELSE 9 END)::DOUBLE AS succ_bytes FROM gv),
+cnt AS (SELECT count(*)::DOUBLE AS m, count(DISTINCT src)::DOUBLE AS nr
+  FROM edges)
+SELECT 'nf_' || t::VARCHAR AS metric, ROUND(v, 3) AS value FROM nf
+  WHERE t < (SELECT cut FROM tc)
+UNION ALL SELECT 'succ_bytes', succ_bytes FROM comp
+UNION ALL SELECT 'edges', m FROM cnt
+UNION ALL SELECT 'rows', nr FROM cnt
+UNION ALL SELECT 'blocks', 8.0
+UNION ALL SELECT 'bits_per_link',
+  ROUND(succ_bytes * 8.0 / (SELECT m FROM cnt), 3) FROM comp
 """,
         "text_features": _text_features_sql(),
         "events_windowed": "SELECT date_trunc('day', ts) AS day, event_type, "

@@ -142,6 +142,7 @@ def hyperball(
     max_iter: int = 64,
     weights: DataFrame | None = None,
     discounts: dict | None = None,
+    hash_fn: str = "xxhash64",
 ) -> HyperBallResult:
     """Run to the exact register fixpoint (``modified()==0``) or ``max_iter``.
 
@@ -160,6 +161,12 @@ def hyperball(
     (``HyperBall.java:232-250``): for each, an accumulator column ``name``
     collects ``Σ_t Δ_t · f(t)`` (harmonic centrality is the special case
     ``f(t) = 1/t``). ``f`` is called driver-side once per iteration.
+
+    ``hash_fn="portable"`` seeds the registers from the md5-based 60-bit
+    hash (``functions/porthash.py``) of ``"{id}:{k}"`` instead of xxhash64,
+    so a DuckDB oracle can replay register indices and ranks (rho =
+    trailing zeros + 1 = ``bit_count((h & -h) - 1) + 1`` in SQL) and hence
+    the whole NF curve. The merge/estimate kernels are hash-agnostic.
     """
     from webgraph_spark.plans.partitioning import partition_for_join
 
@@ -194,14 +201,28 @@ def hyperball(
     # JVM-side — h2 is a full 64-bit hash and must never round-trip through
     # pandas' nullable float64.
     live_c = F.col("k").isNotNull().cast("int")
-    j = F.when(
-        F.col("k").isNotNull(),
-        F.pmod(F.xxhash64(F.lit(seed), F.col("id"), F.col("k")), F.lit(m)),
-    ).otherwise(F.lit(0))
-    h2 = F.when(
-        F.col("k").isNotNull(),
-        F.xxhash64(F.lit(seed + 1), F.col("id"), F.col("k")),
-    ).otherwise(F.lit(0))
+    if hash_fn == "portable":
+        from webgraph_spark.functions.porthash import portable_hash60
+
+        key = F.concat(
+            F.col("id").cast("string"), F.lit(":"), F.col("k").cast("string")
+        )
+        j = F.when(
+            F.col("k").isNotNull(),
+            portable_hash60(key, f"#j{seed}") % F.lit(m),
+        ).otherwise(F.lit(0))
+        h2 = F.when(
+            F.col("k").isNotNull(), portable_hash60(key, f"#h{seed}")
+        ).otherwise(F.lit(0))
+    else:
+        j = F.when(
+            F.col("k").isNotNull(),
+            F.pmod(F.xxhash64(F.lit(seed), F.col("id"), F.col("k")), F.lit(m)),
+        ).otherwise(F.lit(0))
+        h2 = F.when(
+            F.col("k").isNotNull(),
+            F.xxhash64(F.lit(seed + 1), F.col("id"), F.col("k")),
+        ).otherwise(F.lit(0))
 
     def init_kernel(pdf_iter):
         pdfs = list(pdf_iter)

@@ -217,8 +217,34 @@ def minhash_signature(
     )
 
 
+# Mersenne prime 2^31 - 1: with base hashes and coefficients reduced mod P,
+# the universal-hash product a*h + b stays under 2^62 — exact in int64 on
+# BOTH engines (Spark ANSI mode and DuckDB both trap on overflow).
+MINHASH_P = 2147483647
+
+
+def _portable_perm_coeffs(num_hashes: int, seed: int):
+    """The (a_k, b_k) universal-hash coefficients of the PORTABLE MinHash,
+    derived from md5 so a DuckDB oracle regenerates them with the same
+    arithmetic: a_k = ph60('a'||k||'#'||seed) % (P-1) + 1, b_k % P."""
+    import hashlib
+
+    def ph60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    a = np.array(
+        [ph60(f"a{k}#{seed}") % (MINHASH_P - 1) + 1 for k in range(num_hashes)],
+        dtype=np.int64,
+    )
+    b = np.array(
+        [ph60(f"b{k}#{seed}") % MINHASH_P for k in range(num_hashes)],
+        dtype=np.int64,
+    )
+    return a, b
+
+
 def minhash_signature_from_shingles(
-    shingles, num_hashes: int = 64, seed: int = 42
+    shingles, num_hashes: int = 64, seed: int = 42, hash_fn: str = "xxhash64"
 ) -> Column:
     """MinHash signature as array<long> from a shingle array column,
     Arrow-vectorized.
@@ -228,14 +254,30 @@ def minhash_signature_from_shingles(
     broadcast and takes per-document minima with ``minimum.reduceat`` —
     ~100× the throughput of the expression-tree variant at K=64 because the
     per-shingle hash is computed once, not K times.
+
+    ``hash_fn="portable"`` swaps the base hash for the md5-based 60-bit hash
+    (``functions/porthash.py``) reduced mod the Mersenne prime 2^31-1, with
+    md5-derived permutation coefficients — every value is replayable by a
+    DuckDB oracle in exact int64 arithmetic. ~3-5x slower per shingle; the
+    throughput default stays xxhash64.
     """
     if isinstance(shingles, str):
         shingles = F.col(shingles)
-    base = F.transform(shingles, lambda g: F.xxhash64(g, F.lit(seed)))
-    rng = np.random.default_rng(seed)
-    a = (rng.integers(1, 2**63, size=num_hashes, dtype=np.int64).astype(np.uint64)
-         * np.uint64(2) + np.uint64(1))  # odd multipliers
-    b = rng.integers(0, 2**63, size=num_hashes, dtype=np.int64).astype(np.uint64)
+    portable = hash_fn == "portable"
+    if portable:
+        from webgraph_spark.functions.porthash import portable_hash60
+
+        salt = f"#{seed}"
+        base = F.transform(
+            shingles, lambda g: portable_hash60(g, salt) % F.lit(MINHASH_P)
+        )
+        a, b = _portable_perm_coeffs(num_hashes, seed)
+    else:
+        base = F.transform(shingles, lambda g: F.xxhash64(g, F.lit(seed)))
+        rng = np.random.default_rng(seed)
+        a = (rng.integers(1, 2**63, size=num_hashes, dtype=np.int64)
+             .astype(np.uint64) * np.uint64(2) + np.uint64(1))  # odd multipliers
+        b = rng.integers(0, 2**63, size=num_hashes, dtype=np.int64).astype(np.uint64)
 
     @pandas_udf("array<long>")
     def sig(hashes: pd.Series) -> pd.Series:
@@ -243,11 +285,19 @@ def minhash_signature_from_shingles(
                            dtype=np.int64, count=len(hashes))
         if lens.sum() == 0:
             return pd.Series([[0] * num_hashes] * len(hashes))
-        flat = np.concatenate(
-            [np.asarray(h, dtype=np.int64) for h in hashes if h is not None and len(h)]
-        ).astype(np.uint64)
-        with np.errstate(over="ignore"):
-            perm = a[:, None] * flat[None, :] + b[:, None]  # (K, total) mod 2^64
+        if portable:
+            flat = np.concatenate(
+                [np.asarray(h, dtype=np.int64) for h in hashes
+                 if h is not None and len(h)]
+            )
+            perm = (a[:, None] * flat[None, :] + b[:, None]) % MINHASH_P
+        else:
+            flat = np.concatenate(
+                [np.asarray(h, dtype=np.int64) for h in hashes
+                 if h is not None and len(h)]
+            ).astype(np.uint64)
+            with np.errstate(over="ignore"):
+                perm = a[:, None] * flat[None, :] + b[:, None]  # (K, total) mod 2^64
         nonempty = lens > 0
         offsets = np.zeros(int(nonempty.sum()), dtype=np.int64)
         np.cumsum(lens[nonempty][:-1], out=offsets[1:])
@@ -276,12 +326,19 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.8,
     seed: int = 42,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding, verified with exact Jaccard.
 
     rows_per_band = num_hashes // bands; candidate pairs collide on at least
     one band; each candidate is verified (no false positives; recall follows
     the (bands, rows) s-curve).
+
+    ``hash_fn="portable"`` makes the whole pipeline DuckDB-replayable: the
+    portable signature (see :func:`minhash_signature_from_shingles`) plus
+    banding keyed on the raw signature slice (an array<long> equi-join)
+    instead of xxhash64 of the slice — same candidate set semantics, r×8
+    bytes of join key instead of 8.
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
@@ -294,19 +351,22 @@ def minhash_lsh_pairs(
         .select(
             "id",
             "sh",
-            minhash_signature_from_shingles("sh", num_hashes, seed).alias("sig"),
+            minhash_signature_from_shingles(
+                "sh", num_hashes, seed, hash_fn
+            ).alias("sig"),
         )
         .persist()
     )
+    if hash_fn == "portable":
+        band_key = lambda b: F.slice("sig", b * r + 1, r)  # noqa: E731
+    else:
+        band_key = lambda b: F.xxhash64(F.slice("sig", b * r + 1, r))  # noqa: E731
     banded = sigs.select(
         "id",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(F.slice("sig", b * r + 1, r)).alias("bh"),
-                ),
+                lambda b: F.struct(b.alias("band"), band_key(b).alias("bh")),
             )
         ).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
@@ -343,6 +403,7 @@ def near_dup_clusters(
     bands: int = 16,
     threshold: float = 0.8,
     seed: int = 42,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-duplicate CLUSTERS: MinHash-LSH pairs closed under transitivity.
 
@@ -356,7 +417,7 @@ def near_dup_clusters(
     from webgraph_spark.algo.components import hash_min_components
 
     pairs = minhash_lsh_pairs(
-        df, id_col, text_col, n, num_hashes, bands, threshold, seed
+        df, id_col, text_col, n, num_hashes, bands, threshold, seed, hash_fn
     )
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
