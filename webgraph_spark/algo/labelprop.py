@@ -79,16 +79,27 @@ def label_propagation(
                 .distinct()
             )
             vote_edges = sym.join(affected, "dst", "leftsemi")
-        # winner per dst in ONE hash aggregate: mode(label, deterministic=
-        # True) = most frequent label, ties to the LOWEST value — exactly
-        # this operator's tie-break contract. The map-side partial buffers
-        # the per-dst label->count map, so shuffle bytes match the old
-        # two-phase (dst,label,cnt) plan while dropping its second
-        # aggregate's exchange (measured ~2x on the 3-iter bench at sf0.1).
+        # winner per dst via two-phase count + max_by: most frequent label,
+        # ties to the LOWEST value (the struct (count, -label) is unique per
+        # label, so max_by is deterministic). NOT F.mode: its
+        # TypedImperativeAggregate buffer is catastrophic under the eager
+        # localCheckpoint job that closes each round — 34 s vs 2.3 s for
+        # this exact iteration-1 plan at sf0.1 (the count()-based A/B that
+        # originally picked mode() hid the regression; the checkpoint action
+        # is the one that matters). Both phases hash-aggregate JVM-side with
+        # map-side partials; the (dst,label) pre-count also dedups the
+        # shuffle rows, so bytes are comparable.
         winner = (
             vote_edges.join(labels, F.col("src") == labels["id"])
+            .groupBy("dst", "label")
+            .agg(F.count(F.lit(1)).alias("__c"))
             .groupBy(F.col("dst").alias("id"))
-            .agg(F.mode("label", True).alias("new_label"))
+            .agg(
+                F.max_by(
+                    "label",
+                    F.struct(F.col("__c"), (-F.col("label")).alias("__n")),
+                ).alias("new_label")
+            )
         )
         # changed flag computed in the same join/select that applies the
         # update; the changed-count rides on the eager checkpoint job as an
