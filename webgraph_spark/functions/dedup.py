@@ -28,6 +28,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
+from webgraph_spark.plans.partitioning import widen_small_input
+
 
 def normalized_text(text_col: str = "text") -> Column:
     return F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
@@ -41,7 +43,8 @@ def exact_duplicate_groups(
     keeper = min id (deterministic survivor selection).
     """
     return (
-        df.select(F.col(id_col), F.sha2(normalized_text(text_col), 256).alias("fp"))
+        widen_small_input(df)
+        .select(F.col(id_col), F.sha2(normalized_text(text_col), 256).alias("fp"))
         .groupBy("fp")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -55,7 +58,9 @@ def dedup_exact(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """Keep one doc (min id) per fingerprint."""
-    fp = df.withColumn("__fp", F.sha2(normalized_text(text_col), 256))
+    fp = widen_small_input(df).withColumn(
+        "__fp", F.sha2(normalized_text(text_col), 256)
+    )
     keep = fp.groupBy("__fp").agg(F.min(id_col).alias(id_col))
     return fp.join(keep, [id_col, "__fp"], "leftsemi").drop("__fp")
 
@@ -120,7 +125,8 @@ def ngram_jaccard_pairs(
     and logs the dropped shingles (one extra aggregate job).
     """
     sh = (
-        df.select(F.col(id_col).alias("id"), tokens_col(text_col).alias("__toks"))
+        widen_small_input(df)
+        .select(F.col(id_col).alias("id"), tokens_col(text_col).alias("__toks"))
         .select("id", shingles_from_tokens("__toks", n).alias("sh"))
         .persist()
     )
@@ -346,7 +352,8 @@ def minhash_lsh_pairs(
     # inlining the tokenizer/shingle expression trees re-evaluates them per
     # element / per reference (see shingles_from_tokens docstring)
     sigs = (
-        df.select(F.col(id_col).alias("id"), tokens_col(text_col).alias("__toks"))
+        widen_small_input(df)
+        .select(F.col(id_col).alias("id"), tokens_col(text_col).alias("__toks"))
         .select("id", shingles_from_tokens("__toks", n).alias("sh"))
         .select(
             "id",
@@ -518,7 +525,7 @@ def simhash_pairs(
     """
     chunks = max_hamming + 1
     width = 64 // chunks
-    sigs = df.select(
+    sigs = widen_small_input(df).select(
         F.col(id_col).alias("id"),
         simhash_col(text_col, seed, hash_fn).alias("sig"),
     ).persist()

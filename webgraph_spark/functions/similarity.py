@@ -22,6 +22,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
+from webgraph_spark.plans.partitioning import widen_small_input
+
 
 def _dot(a: Column, b: Column) -> Column:
     # cast each element to double BEFORE multiplying: float*float-then-widen
@@ -61,7 +63,7 @@ def cosine_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
-    c = embeddings.select(
+    c = widen_small_input(embeddings).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
     )
     scored = (
@@ -174,7 +176,9 @@ def cosine_topk_lsh(
     (:func:`_portable_hyperplane_bits_udf`) so a DuckDB oracle replays the
     whole pipeline — bucketing, candidate join, re-score, top-k."""
     e = with_lsh_buckets(
-        embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
+        widen_small_input(embeddings).select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        ),
         dim, "cv", num_planes, num_tables, seed, hash_fn,
     ).select(
         "neighbor_id", "cv",
@@ -296,7 +300,7 @@ def cosine_topk_ivf(
         order = np.argsort(d, axis=1)[:, :nprobe].astype(np.int32)
         return pd.Series(list(order))
 
-    corpus = embeddings.select(
+    corpus = widen_small_input(embeddings).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         assign(F.col(vec_col)).alias("bucket"),
@@ -334,7 +338,9 @@ def cosine_neardup_pairs(
     """Embedding near-duplicate pairs (cosine >= threshold), LSH-bucketed
     candidates verified exactly. Returns (id_a, id_b, score), id_a < id_b."""
     e = with_lsh_buckets(
-        embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
+        widen_small_input(embeddings).select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+        ),
         dim, "v", num_planes, num_tables, seed,
     ).select(
         "id", "v",

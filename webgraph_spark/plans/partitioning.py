@@ -110,6 +110,28 @@ def symmetrize_for_join(
     )
 
 
+def widen_small_input(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition an UNDER-partitioned input up to the session
+    shuffle parallelism; wide inputs pass through untouched.
+
+    A small parquet file scans as one split, and everything narrow downstream
+    (regex tokenizers, shingle transforms, Arrow-batched pandas UDFs) then
+    runs on ONE core — worse, projections feeding an ArrowEvalPython node are
+    interpreted, not whole-stage-codegen'd, multiplying the single-thread
+    cost. Measured on the sf0.1 documents table (5k docs, one split): the
+    MinHash signature stage 30.4 s → 0.8 s after widening. At real scale the
+    input already has ≥ parallelism splits and this is a no-op — the guard
+    means the 100 TB path never pays the extra full-data shuffle.
+    """
+    if df.isStreaming:  # .rdd is undefined for streaming frames
+        return df
+    spark = df.sparkSession
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    if df.rdd.getNumPartitions() >= p:
+        return df
+    return df.repartition(p)
+
+
 def salted_sum(
     df: DataFrame,
     key: str,
