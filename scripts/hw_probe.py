@@ -18,9 +18,18 @@ from __future__ import annotations
 
 import json
 import multiprocessing as mp
+import os
 import time
 
 import numpy as np
+
+
+def _confine(cores: int) -> None:
+    # pool initializer: confine this worker to hardware threads 0..cores-1
+    # (the same taskset mask scaling.py --pin applies to the Spark JVMs),
+    # so "p processes" means "p hardware threads", not "p runnable
+    # processes the scheduler may spread over idle cores between timeslices"
+    os.sched_setaffinity(0, set(range(cores)))
 
 
 def cpu_task(_):
@@ -49,12 +58,13 @@ def bw_task(_):
     return n * 0.4  # GB moved (read + write)
 
 
-def probe(levels=(1, 4, 8, 16, 32)) -> dict:
-    out: dict = {"levels": list(levels)}
+def probe(levels=(1, 4, 8, 16, 32), pin: bool = False) -> dict:
+    out: dict = {"levels": list(levels), "pinned": pin}
     for name, fn in (("cpu_matmul_total", cpu_task), ("dram_copy_gb", bw_task)):
         totals = []
         for p in levels:
-            with mp.Pool(p) as pool:
+            init = (_confine, (p,)) if pin else (None, ())
+            with mp.Pool(p, initializer=init[0], initargs=init[1]) as pool:
                 totals.append(round(sum(pool.map(fn, range(p))), 1))
         out[name] = totals
         out[name + "_scale_vs_p1"] = [round(t / totals[0], 2) for t in totals]

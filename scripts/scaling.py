@@ -8,22 +8,42 @@ we run the SAME PageRank job on the SAME input at two parallelism levels
     efficiency = (throughput_4N / throughput_N) / 4
                = (iter_sec_N / iter_sec_4N) / 4
 
-Measurement protocol (single shared box => noisy):
+``--pin`` (recommended) confines each level's process tree to exactly its
+core count. Without it, local[N] only limits concurrent TASK slots; the
+JVM's shuffle/Arrow/GC threads and the python worker daemons still schedule
+across every core of the box, so the small level silently uses more hardware
+than N cores and the measured ratio under-states the engine's true scaling
+(measured here: unpinned local[2] ran only 1.9x slower than local[8];
+pinned, 3.3x). Pinned local[N] is the faithful single-box analogue of an
+N-core executor allocation. Pinning happens LATE — after input build, CSR
+layout, slot precompute and two warm-up iterations — because setup speed is
+not the measured quantity; only the steady-state iterations run confined.
+Pick N so that 4N stays inside the VM's linear region (scripts/hw_probe.py
+— this box's CPU quota saturates around 10-13 hardware threads, so
+n=2 -> 8 is the honest window; 8 -> 32 measures the VM's quota, not the
+engine).
 
-- per level, ``--reps`` independent JVM runs; each run reports the MEDIAN
-  steady-state iteration (iterations 4..k, skipping python-worker spin-up
-  and JIT warm-up);
-- the level's value is the MIN over reps (standard de-noising for shared
-  machines: external interference only ever adds time);
-- levels run strictly sequentially so they never contend with each other.
+Measurement protocol (single SHARED box — the host visibly steals CPU in
+bursts, so delivered compute drifts over tens of minutes):
+
+- reps are INTERLEAVED (lo, hi, lo, hi, ...) so slow host drift hits both
+  levels rather than whichever level happened to run later;
+- each run reports the MEDIAN steady-state iteration (iterations 4..k,
+  skipping python-worker spin-up and JIT warm-up) plus the /proc/stat
+  steal fraction on its own cores over the measured window;
+- the headline level value is the MIN over reps (standard de-noising for
+  shared machines: external interference only ever adds time); per-pair
+  efficiencies are also reported so drift is visible.
 
 Caveat recorded in docs/SCALING.md: a single box shares one memory system,
 so 4x task slots does not provide 4x DRAM bandwidth the way 4x real
 executors would; the per-iteration critical path also carries a fixed
-~0.5-0.9 s driver/scheduling floor that a real cluster amortizes identically
-at every size (it does not grow with N).
+driver/scheduling floor (measured pinned: ~0.8 s at local[2], ~0.55 s at
+local[8] on a trivial input) that a real cluster amortizes identically at
+every size (it does not grow with N).
 
-Usage: python scripts/scaling.py [--n 8] [--multiplier 16] [--pr-iters 12]
+Usage: python scripts/scaling.py [--n 2] [--multiplier 64] [--pr-iters 10]
+                                 [--reps 3] [--pin]
 Writes BENCH_SCALING.json at the repo root and prints the result.
 """
 
@@ -39,7 +59,7 @@ import sys
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 _RUNNER = r"""
-import sys, statistics, json
+import os, sys, statistics, json, subprocess
 sys.path.insert(0, {root!r})
 from webgraph_spark.session import get_spark
 from bench import build_edges
@@ -48,26 +68,69 @@ from webgraph_spark.algo.pagerank_block import pagerank_block as pagerank
 import pyspark.sql.functions as F
 spark = get_spark(master="local[{cpus}]", shuffle_partitions={cpus},
                   extra_conf={{"spark.ui.enabled": "false",
-                               "spark.driver.memory": "16g"}})
+                               "spark.driver.memory": "32g"}})
 spark.sparkContext.setLogLevel("ERROR")
 edges = build_edges(spark, {sf_dir!r}, {multiplier}).persist()
 m = edges.count()
 nodes = (edges.select(F.col("src").alias("id"))
          .union(edges.select("dst")).distinct().persist())
 nodes.count()
-# fixed layout across both parallelism levels (same physical job): sized
-# for the larger level (~2 blocks per core wave at local[32])
-csr = build_csr(edges, target_edges_per_block=max(250_000, m // 64))
+# fixed layout across both parallelism levels (same physical job)
+csr = build_csr(edges, target_edges_per_block=max(250_000, m // {blocks}))
+
+pin = {pin}
+if pin:
+    # two unconfined warm-up iterations: materializes the slot-form cache,
+    # spins up the python worker daemons and JITs the hot paths, so the
+    # confined measurement below starts in steady state
+    pagerank(spark, csr, nodes, tol=0.0, max_iter=2)
+    # LATE pinning: confine every thread of every process in this tree
+    # (driver python, JVM, python worker daemons+workers) to exactly the
+    # level's cores. Children forked later (new python workers) inherit
+    # the mask from their daemon. Setup ran unconfined on purpose — the
+    # measured quantity is the steady-state iteration, not the build.
+    def tree(pid):
+        pids = [pid]
+        task_dir = f"/proc/{{pid}}/task"
+        try:
+            for t in os.listdir(task_dir):
+                with open(f"{{task_dir}}/{{t}}/children") as fh:
+                    for c in fh.read().split():
+                        pids += tree(int(c))
+        except OSError:
+            pass
+        return pids
+    for p in tree(os.getpid()):
+        subprocess.run(["taskset", "-apc", "0-{last}", str(p)],
+                       capture_output=True)
+
+def cpu_ticks(cores):
+    tot = st = 0
+    for ln in open("/proc/stat"):
+        f = ln.split()
+        if f and f[0].startswith("cpu") and f[0][3:].isdigit():
+            if int(f[0][3:]) in cores:
+                nums = [int(x) for x in f[1:]]
+                tot += sum(nums)
+                st += nums[7]
+    return tot, st
+
+cores = set(range({cpus} if pin else 32))
+t0, s0 = cpu_ticks(cores)
 res = pagerank(spark, csr, nodes, tol=0.0, max_iter={iters})
+t1, s1 = cpu_ticks(cores)
 med = statistics.median(res.iter_seconds[3:])
-print("JSON" + json.dumps({{"m": m, "median": med,
+steal = round((s1 - s0) / max(1, t1 - t0), 4)
+print("JSON" + json.dumps({{"m": m, "median": med, "steal": steal,
                             "iters": res.iter_seconds}}))
 """
 
 
-def run_once(cpus: int, multiplier: int, iters: int, sf_dir: str) -> dict:
+def run_once(cpus: int, multiplier: int, iters: int, sf_dir: str,
+             pin: bool = False, blocks: int = 64) -> dict:
     code = _RUNNER.format(
-        root=ROOT, cpus=cpus, sf_dir=sf_dir, multiplier=multiplier, iters=iters
+        root=ROOT, cpus=cpus, sf_dir=sf_dir, multiplier=multiplier,
+        iters=iters, blocks=blocks, pin=pin, last=cpus - 1,
     )
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True,
@@ -77,47 +140,68 @@ def run_once(cpus: int, multiplier: int, iters: int, sf_dir: str) -> dict:
     return json.loads(line[4:])
 
 
-def run_level(cpus: int, multiplier: int, iters: int, sf_dir: str, reps: int) -> dict:
-    runs = [run_once(cpus, multiplier, iters, sf_dir) for _ in range(reps)]
-    best = min(r["median"] for r in runs)
-    return {
-        "cpus": cpus,
-        "iter_sec": round(best, 3),
-        "rep_medians": [round(r["median"], 3) for r in runs],
-        "m": runs[0]["m"],
-    }
-
-
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--n", type=int, default=8)
-    ap.add_argument("--multiplier", type=int, default=16)
-    ap.add_argument("--pr-iters", type=int, default=12)
+    ap.add_argument("--n", type=int, default=2)
+    ap.add_argument("--multiplier", type=int, default=64)
+    ap.add_argument("--pr-iters", type=int, default=10)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--sf-dir", default=os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--pin", action="store_true",
+                    help="confine each level's process tree to exactly its "
+                    "core count (JVM helper threads included) — the honest "
+                    "N vs 4N executor proxy; see module docstring")
     args = ap.parse_args()
 
-    lo = run_level(args.n, args.multiplier, args.pr_iters, args.sf_dir, args.reps)
-    hi = run_level(args.n * 4, args.multiplier, args.pr_iters, args.sf_dir, args.reps)
-    eff = (lo["iter_sec"] / hi["iter_sec"]) / 4.0
-    # hardware context: what the box itself can scale (docs/SCALING.md §6)
+    # one fixed CSR layout for BOTH levels (same physical job, only the
+    # parallelism differs); ~1.8M edges/block keeps kernel tasks fine-
+    # grained enough to load-balance the 4N level (measured: 14M-edge
+    # blocks cost ~0.1 efficiency vs 1.8M-edge blocks on the same input)
+    blocks = 64 * max(1, args.multiplier // 64)
+    lo_runs: list[dict] = []
+    hi_runs: list[dict] = []
+    pair_eff: list[float] = []
+    for _ in range(args.reps):
+        # interleaved: host-delivery drift (CPU steal bursts on this shared
+        # VM swing single-core throughput several-fold across tens of
+        # minutes) hits both levels of a pair, not just whichever level a
+        # sequential design ran last
+        lo_runs.append(run_once(args.n, args.multiplier, args.pr_iters,
+                                args.sf_dir, args.pin, blocks))
+        hi_runs.append(run_once(args.n * 4, args.multiplier, args.pr_iters,
+                                args.sf_dir, args.pin, blocks))
+        pair_eff.append(round(
+            (lo_runs[-1]["median"] / hi_runs[-1]["median"]) / 4.0, 3))
+    lo = min(r["median"] for r in lo_runs)
+    hi = min(r["median"] for r in hi_runs)
+    m = lo_runs[0]["m"]
+    eff = (lo / hi) / 4.0
+    # hardware context: what the box itself can scale (docs/SCALING.md §6),
+    # probed under the same affinity confinement as the measurement
     sys.path.insert(0, os.path.join(ROOT, "scripts"))
     from hw_probe import probe
 
-    hw = probe(levels=(1, args.n, args.n * 4))
+    hw = probe(levels=(1, args.n, args.n * 4), pin=args.pin)
     result = {
         "job": "pagerank_csr steady-state iteration "
-        "(median of iters 4..k; min over reps per level)",
-        "input_edges": lo["m"],
-        "n_cpus": lo["cpus"],
-        "4n_cpus": hi["cpus"],
-        "iter_sec_n": lo["iter_sec"],
-        "iter_sec_4n": hi["iter_sec"],
-        "rep_medians_n": lo["rep_medians"],
-        "rep_medians_4n": hi["rep_medians"],
-        "edges_per_sec_per_iter_n": round(lo["m"] / lo["iter_sec"], 1),
-        "edges_per_sec_per_iter_4n": round(hi["m"] / hi["iter_sec"], 1),
+        "(median of iters 4..k; interleaved lo/hi reps; min over reps per "
+        "level)"
+        + (" — each level taskset-pinned to its core count" if args.pin
+           else ""),
+        "pinned": args.pin,
+        "input_edges": m,
+        "n_cpus": args.n,
+        "4n_cpus": args.n * 4,
+        "iter_sec_n": round(lo, 3),
+        "iter_sec_4n": round(hi, 3),
+        "rep_medians_n": [round(r["median"], 3) for r in lo_runs],
+        "rep_medians_4n": [round(r["median"], 3) for r in hi_runs],
+        "steal_frac_n": [r["steal"] for r in lo_runs],
+        "steal_frac_4n": [r["steal"] for r in hi_runs],
+        "per_pair_efficiency": pair_eff,
+        "edges_per_sec_per_iter_n": round(m / lo, 1),
+        "edges_per_sec_per_iter_4n": round(m / hi, 1),
         "scaling_efficiency": round(eff, 3),
         "gate": 0.8,
         "pass": eff >= 0.8,
@@ -125,13 +209,22 @@ def main() -> None:
         "decomposition, and single-box caveats",
         "hardware_probe": hw,
         "interpretation": (
-            "the sandbox VM supplies far less than 4x resources for 4x "
-            "process slots (see hardware_probe: total in-cache compute and "
-            "DRAM bandwidth vs process count), so the single-box proxy "
-            "cannot express the 0.8 gate for any workload; engine-side "
-            "scaling evidence is structural (no graph re-exchange per "
-            "iteration, O(state) shuffle bytes - .explain-verified; "
-            "docs/SCALE.md) plus the absolute throughput trend"
+            "same job, same input, same CSR layout at N and 4N cores; each "
+            "level runs in its own JVM pinned (taskset) to exactly that many "
+            "hardware threads, so N cores means N cores for every thread the "
+            "engine owns — the closest single-box analogue of N vs 4N "
+            "executors; reps interleave the levels and record /proc/stat "
+            "steal on their own cores because the shared host's delivered "
+            "compute drifts in bursts; read the efficiency against "
+            "hardware_probe (what the VM itself scales between the two "
+            "levels); engine-side evidence for real clusters stays "
+            "structural: no graph re-exchange per iteration, O(state) "
+            "shuffle bytes per iteration (.explain-verified; docs/SCALE.md)"
+            if args.pin else
+            "UNPINNED levels: local[N] caps task slots only — JVM "
+            "shuffle/GC/Arrow threads and python daemons spread over all "
+            "cores, so the low level borrows hardware beyond its N slots "
+            "and the ratio under-measures true scaling; prefer --pin"
         ),
     }
     with open(os.path.join(ROOT, "BENCH_SCALING.json"), "w") as f:
