@@ -49,6 +49,7 @@ def label_propagation(
             .distinct()
         )
     nodes = nodes.select("id").persist()
+    n_nodes = nodes.count()
     labels = (
         initial.select("id", "label")
         if initial is not None
@@ -56,7 +57,7 @@ def label_propagation(
     ).transform(checkpoint_state)
 
     changed_set = labels.select("id")  # first round: everyone "changed"
-    every_node_changed = True  # first round: affected set == all dsts
+    changed = n_nodes  # first round: everyone "changed"
     result = LabelPropResult(labels=labels, iterations=start_iteration)
     for it in range(start_iteration, max_iter):
         t0 = time.monotonic()
@@ -65,10 +66,12 @@ def label_propagation(
         # the vote ONLY for dsts adjacent to the changed set (the mode still
         # needs ALL their neighbours' labels — LPA is not monotone like
         # hash-min, so the restriction is on which dsts recompute, not on
-        # which sources send). On the first round every node changed, so
-        # the affected set is exactly {dst of sym} and the two restriction
-        # joins are identity — skip them (saves a distinct + semi-join).
-        if every_node_changed:
+        # which sources send). The restriction costs two extra exchanges of
+        # the edge set (the semi-join key is dst, not sym's partition key),
+        # so apply it only once the changed set is small — in early rounds
+        # nearly every node flips and the "restricted" vote is the full
+        # vote plus two wasted shuffles.
+        if changed > n_nodes // 5:
             vote_edges = sym
         else:
             affected = (
@@ -79,27 +82,36 @@ def label_propagation(
                 .distinct()
             )
             vote_edges = sym.join(affected, "dst", "leftsemi")
-        # winner per dst via two-phase count + max_by: most frequent label,
-        # ties to the LOWEST value (the struct (count, -label) is unique per
-        # label, so max_by is deterministic). NOT F.mode: its
+        # winner per dst via two-phase count + max(struct): most frequent
+        # label, ties to the LOWEST value (the struct (count, -label) is
+        # unique per label, so the max is deterministic). NOT F.mode: its
         # TypedImperativeAggregate buffer is catastrophic under the eager
         # localCheckpoint job that closes each round — 34 s vs 2.3 s for
         # this exact iteration-1 plan at sf0.1 (the count()-based A/B that
         # originally picked mode() hid the regression; the checkpoint action
-        # is the one that matters). Both phases hash-aggregate JVM-side with
-        # map-side partials; the (dst,label) pre-count also dedups the
-        # shuffle rows, so bytes are comparable.
+        # is the one that matters). NOT max_by(label, struct): partial_max_by
+        # over a struct ordering plans as SortAggregate — a full sort of the
+        # (dst,label) rows every round — where max over a struct is
+        # declarative (greatest) and hash-aggregates with map-side partials.
+        # The SHUFFLE_HASH hint on the labels side keeps the join shape
+        # scale-correct at every size: labels (O(state), changes every
+        # round) shuffles to sym's HashPartitioning(src) and builds the
+        # per-partition hash table; the persisted edge side streams with NO
+        # exchange. Without the hint, AQE broadcast-builds the EDGE side —
+        # re-collecting and re-broadcasting the whole graph every iteration.
         winner = (
-            vote_edges.join(labels, F.col("src") == labels["id"])
+            vote_edges.join(
+                labels.hint("shuffle_hash"), F.col("src") == labels["id"]
+            )
             .groupBy("dst", "label")
             .agg(F.count(F.lit(1)).alias("__c"))
             .groupBy(F.col("dst").alias("id"))
             .agg(
-                F.max_by(
-                    "label",
-                    F.struct(F.col("__c"), (-F.col("label")).alias("__n")),
-                ).alias("new_label")
+                F.max(
+                    F.struct(F.col("__c"), (-F.col("label")).alias("__n"))
+                ).alias("__m")
             )
+            .select("id", (-F.col("__m.__n")).alias("new_label"))
         )
         # changed flag computed in the same join/select that applies the
         # update; the changed-count rides on the eager checkpoint job as an
@@ -120,7 +132,6 @@ def label_propagation(
         changed = int(obs.get["c"] or 0)
         new_labels = updated.select("id", "label")
         changed_set = updated.filter(F.col("__ch") == 1).select("id")
-        every_node_changed = False
         wall = time.monotonic() - t0
         result.changed_per_iter.append(changed)
         result.iter_seconds.append(wall)
