@@ -39,11 +39,19 @@ def bfs_distances(
     visited = frontier
     for depth in range(1, max_depth + 1):
         obs = Observation()
+        # checkpointed frames scan as ExistingRDD with UNKNOWN stats, so
+        # without hints AQE can pick the persisted EDGE side as the
+        # broadcast build (re-broadcasting the graph every level). The
+        # SHUFFLE_HASH hints pin the O(frontier)/O(visited) sides as the
+        # shuffled hash-build sides; a pre-partitioned edge set streams
+        # with no exchange.
         nxt = (
-            edges.join(frontier, edges["src"] == frontier["id"])
+            edges.join(
+                frontier.hint("shuffle_hash"), edges["src"] == frontier["id"]
+            )
             .select(F.col("dst").alias("id"))
             .distinct()
-            .join(visited.select("id"), "id", "left_anti")
+            .join(visited.select("id").hint("shuffle_hash"), "id", "left_anti")
             .withColumn("dist", F.lit(depth))
             .observe(obs, F.count(F.lit(1)).alias("c"))
             .transform(checkpoint_state)
