@@ -75,9 +75,15 @@ def hash_min_components(
         # least() applies the hash-min update and the changed flag rides on
         # the checkpointed rows, so the convergence count is a cheap scan,
         # not a separate new⋈old join job.
+        # SHUFFLE_HASH on the state side: the checkpointed comps frame has
+        # unknown stats (ExistingRDD), so without the hint AQE broadcast-
+        # builds the persisted EDGE side — re-broadcasting the graph every
+        # round. With it the O(changed) sender set shuffles and the cached
+        # pre-partitioned sym streams with no exchange.
         nbr_min = (
             sym.join(
-                comps.filter(F.col("__ch") == 1), sym["src"] == comps["id"]
+                comps.filter(F.col("__ch") == 1).hint("shuffle_hash"),
+                sym["src"] == comps["id"],
             )
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("comp").alias("__nm"))
