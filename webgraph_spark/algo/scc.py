@@ -52,8 +52,16 @@ def _forward_min_coloring(edges: DataFrame, nodes: DataFrame, max_iter: int) -> 
         .transform(checkpoint_state)
     )
     for _ in range(max_iter):
+        # SHUFFLE_HASH on the state side: checkpointed color state has
+        # unknown stats (ExistingRDD), so without the hint AQE broadcast-
+        # builds the persisted edge side every round; with it the
+        # O(changed) sender set shuffles and the pre-partitioned edges
+        # stream with no exchange.
         nbr = (
-            edges.join(col.filter(F.col("__ch") == 1), edges["src"] == col["id"])
+            edges.join(
+                col.filter(F.col("__ch") == 1).hint("shuffle_hash"),
+                edges["src"] == col["id"],
+            )
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("col").alias("__nm"))
         )
@@ -118,10 +126,15 @@ def strongly_connected_components(
         frontier = visited
         while True:
             nxt = (
-                same_col_rev.join(frontier, same_col_rev["src"] == frontier["id"])
+                same_col_rev.join(
+                    frontier.hint("shuffle_hash"),
+                    same_col_rev["src"] == frontier["id"],
+                )
                 .select(F.col("dst").alias("id"), F.col("col"))
                 .distinct()
-                .join(visited.select("id"), "id", "left_anti")
+                .join(
+                    visited.select("id").hint("shuffle_hash"), "id", "left_anti"
+                )
                 .transform(checkpoint_state)
             )
             if nxt.isEmpty():
