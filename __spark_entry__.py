@@ -172,6 +172,11 @@ SYM_CTE = (
     "sym AS (SELECT src, dst FROM (SELECT src, dst FROM edges "
     "UNION SELECT dst AS src, src AS dst FROM edges) t)"
 )
+# per-successor portable tie-hash used by the bounded permutation keys —
+# mirrors operators.permutations._tie_hash(hash_fn="portable") exactly
+_PERM_HASH = (
+    "('0x' || substring(md5(CAST(dst AS VARCHAR) || '#perm'), 1, 15))::BIGINT"
+)
 # documents text normalization — mirrors functions.text/dedup exactly
 NORM = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
 TOKS = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')"
@@ -565,6 +570,10 @@ def _q_graph_stats(spark, sf_dir):
     block + successor log-gap histogram + SCC size distribution."""
     e = _edges(spark, sf_dir).persist()
     nodes = _nodes(e)
+    # e is persisted for the SCC pass below (which runs eagerly, many
+    # actions); unpersisted before returning so repeated driver-query runs
+    # in one session don't accumulate cached blocks — the two lazy scalar
+    # branches recompute the cheap distinct at collect time.
 
     def one(metric, col):
         return F.struct(F.lit(metric).alias("metric"), col.cast("double").alias("value"))
@@ -645,7 +654,9 @@ def _q_graph_stats(spark, sf_dir):
             F.col("cnt").cast("double").alias("value"),
         )
     )
-    return scalars.unionByName(gaps).unionByName(sccs)
+    out = scalars.unionByName(gaps).unionByName(sccs)
+    e.unpersist()
+    return out
 
 
 def _q_gap_stats(spark, sf_dir):
@@ -813,10 +824,16 @@ def _q_text_roundtrip(spark, sf_dir):
     """Arc-list + .graph-txt + scattered-arc ingestion round-trips in one
     frame, tagged by ``fmt`` (ArcListASCIIGraph / ASCIIGraph /
     ScatteredArcsASCIIGraph)."""
+    import atexit
+    import shutil
     import tempfile
 
     e = _edges(spark, sf_dir)
     base = tempfile.mkdtemp(prefix="wg_rt_")
+    # the returned frame reads these files lazily, so they cannot be
+    # deleted here — reclaim at interpreter exit instead of leaking one
+    # directory per invocation
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
 
     write_arc_list(e, base + "/arcs")
     arclist = read_arc_list(spark, base + "/arcs").withColumn(
@@ -845,7 +862,28 @@ def _q_text_roundtrip(spark, sf_dir):
 
 
 def _q_labelled_merge(spark, sf_dir):
-    return merge_duplicate_arcs(_labelled(spark, sf_dir), "min")
+    """Both labelled merge families in one tagged frame: the aggregate
+    strategy (min) and the fork's DEFAULT keep-last
+    (``ScatteredLabelledArcsASCIIGraph.java:197-294``), made deterministic
+    by a total input-order sequence (here ``l_orderkey*8 + l_linenumber`` —
+    unique per lineitem row, the parquet analogue of the reader's line
+    number)."""
+    lab = _labelled(spark, sf_dir)
+    mn = merge_duplicate_arcs(lab, "min").withColumn(
+        "strategy", F.lit("min")
+    )
+    seq = _lineitem(spark, sf_dir).select(
+        F.col("l_suppkey").cast("long").alias("src"),
+        (F.col("l_partkey") % 120).cast("long").alias("dst"),
+        F.col("l_quantity").cast("long").alias("label"),
+        (F.col("l_orderkey").cast("long") * 8 + F.col("l_linenumber"))
+        .cast("long")
+        .alias("seq"),
+    )
+    last = merge_duplicate_arcs(seq, "last", seq_col="seq").withColumn(
+        "strategy", F.lit("last")
+    )
+    return mn.unionByName(last).select("strategy", "src", "dst", "label")
 
 
 def _q_labelled_compose(spark, sf_dir):
@@ -875,13 +913,16 @@ def _q_key_permutation(spark, sf_dir):
 
 
 def _q_lex_permutation(spark, sf_dir):
+    """Bounded-key default (max_prefix=64) over the portable tie-hash so
+    DuckDB replays the full rule: (prefix, degree, xor-hash, id)."""
     e = _edges(spark, sf_dir)
-    return lexicographic_permutation(e, _nodes(e))
+    return lexicographic_permutation(e, _nodes(e), hash_fn="portable")
 
 
 def _q_gray_permutation(spark, sf_dir):
+    """Bounded Gray-key default (max_prefix=64), portable tie-hash."""
     e = _edges(spark, sf_dir)
-    return gray_code_permutation(e, _nodes(e))
+    return gray_code_permutation(e, _nodes(e), hash_fn="portable")
 
 
 def _q_dedup_exact(spark, sf_dir):
@@ -1375,9 +1416,17 @@ SELECT metric, value FROM (
             "UNION ALL SELECT 'scattered', ms.nid, md.nid FROM edges e "
             "JOIN m ms ON ms.id = e.src JOIN m md ON md.id = e.dst",
         ),
-        "labelled_merge": "SELECT l_suppkey AS src, l_partkey % 120 AS dst, "
-        "min(CAST(floor(l_quantity) AS BIGINT)) AS label "
-        "FROM lineitem GROUP BY 1, 2",
+        "labelled_merge": "SELECT 'min' AS strategy, l_suppkey AS src, "
+        "l_partkey % 120 AS dst, min(CAST(floor(l_quantity) AS BIGINT)) "
+        "AS label FROM lineitem GROUP BY 2, 3 "
+        # struct-max, not arg_max: seq ties (the testdata has duplicate
+        # (orderkey, linenumber) rows) break by label, exactly as Spark's
+        # max(struct(seq, label)) does
+        "UNION ALL "
+        "SELECT 'last', l_suppkey, l_partkey % 120, "
+        "(max(struct_pack(s := CAST(l_orderkey AS BIGINT) * 8 + "
+        "l_linenumber, l := CAST(floor(l_quantity) AS BIGINT)))).l "
+        "FROM lineitem GROUP BY 2, 3",
         "labelled_compose": _with(
             "lab AS (SELECT l_suppkey AS src, l_partkey % 120 AS dst, "
             "min(CAST(floor(l_quantity) AS BIGINT)) AS label "
@@ -1399,30 +1448,43 @@ SELECT metric, value FROM (
         "key_permutation": "SELECT CAST(s_suppkey AS BIGINT) AS id, "
         "CAST(row_number() OVER (ORDER BY CAST(s_nationkey AS BIGINT) ASC, "
         "s_suppkey ASC) - 1 AS BIGINT) AS new_id FROM supplier",
+        # bounded default rule (operators/permutations.py module docstring):
+        # key = (first-64-successor prefix, degree, XOR of the portable
+        # per-successor hash, id) — the oracle replays the WHOLE rule,
+        # tie-hash included, via the shared md5-based 60-bit hash.
         "lex_permutation": _with(
             EDGES_CTE,
             NODES_CTE,
-            "succ AS (SELECT src AS id, "
-            "string_agg(printf('%019d', dst), ',' ORDER BY dst) AS k "
-            "FROM edges GROUP BY src)",
-            "keyed AS (SELECT n.id, COALESCE(s.k, '') AS k "
+            f"succ AS (SELECT src AS id, "
+            f"list_slice(list_sort(list(dst)), 1, 64) AS k, "
+            f"CAST(count(*) AS BIGINT) AS deg, "
+            f"bit_xor({_PERM_HASH}) AS th FROM edges GROUP BY src)",
+            "keyed AS (SELECT n.id, COALESCE(s.k, CAST([] AS BIGINT[])) AS k, "
+            "COALESCE(s.deg, 0) AS deg, COALESCE(s.th, 0) AS th "
             "FROM nodes n LEFT JOIN succ s ON s.id = n.id)",
             select="SELECT id, CAST(row_number() OVER "
-            "(ORDER BY k ASC, id ASC) - 1 AS BIGINT) AS new_id FROM keyed",
+            "(ORDER BY k ASC, deg ASC, th ASC, id ASC) - 1 AS BIGINT) "
+            "AS new_id FROM keyed",
         ),
         "gray_permutation": _with(
             EDGES_CTE,
             NODES_CTE,
-            "succ AS (SELECT src AS id, list_sort(list(dst)) AS sl "
-            "FROM edges GROUP BY src)",
-            "keyed AS (SELECT n.id, COALESCE(s.sl, CAST([] AS BIGINT[])) AS sl "
+            f"succ AS (SELECT src AS id, list_sort(list(dst)) AS sl, "
+            f"CAST(count(*) AS BIGINT) AS deg, "
+            f"bit_xor({_PERM_HASH}) AS th FROM edges GROUP BY src)",
+            "keyed AS (SELECT n.id, COALESCE(s.sl, CAST([] AS BIGINT[])) "
+            "AS sl, COALESCE(s.deg, 0) AS deg, COALESCE(s.th, 0) AS th "
             "FROM nodes n LEFT JOIN succ s ON s.id = n.id)",
-            f"gk AS (SELECT id, list_transform(sl, (x, i) -> "
+            f"gk AS (SELECT id, deg, th, "
+            f"list_transform(list_slice(sl, 1, 64), (x, i) -> "
             f"CASE WHEN (i - 1) % 2 = 0 THEN -x ELSE x END) || "
-            f"[CASE WHEN len(sl) % 2 = 1 THEN {_GRAY_BIG} "
-            f"ELSE {-_GRAY_BIG} END] AS k FROM keyed)",
+            f"CASE WHEN deg <= 64 THEN "
+            f"[CASE WHEN deg % 2 = 1 THEN {_GRAY_BIG} "
+            f"ELSE {-_GRAY_BIG} END] ELSE CAST([] AS BIGINT[]) END AS k "
+            f"FROM keyed)",
             select="SELECT id, CAST(row_number() OVER "
-            "(ORDER BY k ASC, id ASC) - 1 AS BIGINT) AS new_id FROM gk",
+            "(ORDER BY k ASC, deg ASC, th ASC, id ASC) - 1 AS BIGINT) "
+            "AS new_id FROM gk",
         ),
         "dedup_exact": f"SELECT min(doc_id) AS doc_id, count(*) AS n_docs, "
         f"sha256({NORM}) AS fp FROM documents GROUP BY {NORM}",

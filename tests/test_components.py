@@ -65,3 +65,30 @@ def test_directed_arcs_treated_undirected(spark):
     edges = spark.createDataFrame([(0, 1), (2, 1)], "src long, dst long")
     res = hash_min_components(edges)
     assert set(_comp_map(res.components).values()) == {0}
+
+
+def test_renumber_by_size_shattered(spark):
+    # 10^5 singleton components + one 50-node component: renumber must not
+    # funnel one-row-per-component through a single partition (the old
+    # unpartitioned window). The big component gets rank 0; singletons get
+    # a dense 1..n numbering ordered by min member id.
+    from pyspark.sql import functions as F
+
+    singles = spark.range(1000, 101_000).select(
+        F.col("id").cast("long"), F.col("id").cast("long").alias("comp")
+    )
+    big = spark.range(0, 50).select(
+        F.col("id").cast("long"), F.lit(0).cast("long").alias("comp")
+    )
+    ren = renumber_by_size(big.unionByName(singles))
+    assert ren.filter("component = 0").count() == 50  # largest first
+    n_comp = ren.select("component").distinct().count()
+    assert n_comp == 100_001
+    mx = ren.agg(F.max("component")).first()[0]
+    assert mx == 100_000  # dense 0..n_comp-1
+    # singleton ranks follow comp id order (size ties break by comp asc)
+    probe = {
+        r["id"]: r["component"]
+        for r in ren.filter(F.col("id").isin(1000, 1001, 100_999)).collect()
+    }
+    assert probe[1000] == 1 and probe[1001] == 2 and probe[100_999] == 100_000

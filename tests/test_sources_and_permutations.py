@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from webgraph_spark.operators.permutations import (
     degree_permutation,
+    gray_code_permutation,
     lexicographic_permutation,
     permute_by_key,
     random_permutation,
@@ -182,3 +183,77 @@ def test_degree_permutation(spark):
     }
     assert perm[0] == 0 and perm[1] == 1  # deg 3, deg 1, then deg-0 by id
     assert perm[2] == 2 and perm[3] == 3
+
+
+def test_scattered_labelled_keep_last_default(spark, tmp_path):
+    # keep-last is the fork's default duplicate resolution
+    # (ScatteredLabelledArcsASCIIGraph.java:197-294): the LAST line wins,
+    # deterministically via the carried line number.
+    p = tmp_path / "lab_last.tsv"
+    p.write_text("10\t20\t7\n10\t20\t3\n20\t10\t1\n20\t10\t9\n")
+    _, labelled = read_scattered_labelled_arcs(spark, str(p))
+    rows = {(r["src"], r["dst"]): r["label"] for r in labelled.collect()}
+    assert len(rows) == 2
+    assert sorted(rows.values()) == [3, 9]  # last occurrence of each arc
+    _, first = read_scattered_labelled_arcs(
+        spark, str(p), merge_strategy="first"
+    )
+    rows_f = {(r["src"], r["dst"]): r["label"] for r in first.collect()}
+    assert sorted(rows_f.values()) == [1, 7]
+
+
+def test_bounded_permutation_hub_sort_cell(spark):
+    # A 10^6-successor hub must NOT materialize a full-array sort cell:
+    # the bounded default caps the key at max_prefix elements (~512 bytes,
+    # not ~8 MB) while degree + XOR tie-hash keep the rule total.
+    from webgraph_spark.operators.permutations import (
+        DEFAULT_MAX_PREFIX,
+        _bounded_succ_agg,
+    )
+
+    hub = spark.range(1, 1_000_001).select(
+        F.lit(0).cast("long").alias("src"), F.col("id").cast("long").alias("dst")
+    )
+    edges = hub.unionByName(
+        spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    )
+    agg = _bounded_succ_agg(edges, DEFAULT_MAX_PREFIX, "xxhash64")
+    rows = {r["id"]: r for r in agg.collect()}
+    assert rows[0]["__deg"] == 1_000_000
+    assert len(rows[0]["__k"]) == DEFAULT_MAX_PREFIX  # bounded cell
+    assert rows[0]["__k"] == list(range(1, DEFAULT_MAX_PREFIX + 1))
+    assert len(rows[1]["__k"]) == 1
+
+    nodes = edges.select(F.col("src").alias("id")).union(
+        edges.select("dst")
+    ).distinct()
+    perm = lexicographic_permutation(edges, nodes)
+    assert perm.count() == nodes.count()  # completes with bounded cells
+
+
+def test_bounded_equals_exact_when_degrees_small(spark):
+    # Whenever every out-degree <= max_prefix the bounded rule degenerates
+    # to the exact rule (prefix == full list; deg/hash only break exact
+    # array ties, where id decides in both modes).
+    from webgraph_spark.sources.generators import erdos_renyi
+
+    edges = erdos_renyi(spark, n=300, p=0.05, seed=7)
+    nodes = edges.sparkSession.range(300).select(F.col("id").cast("long"))
+    bounded = {
+        r["id"]: r["new_id"]
+        for r in lexicographic_permutation(edges, nodes).collect()
+    }
+    exact = {
+        r["id"]: r["new_id"]
+        for r in lexicographic_permutation(edges, nodes, max_prefix=None).collect()
+    }
+    assert bounded == exact
+    g_bounded = {
+        r["id"]: r["new_id"]
+        for r in gray_code_permutation(edges, nodes).collect()
+    }
+    g_exact = {
+        r["id"]: r["new_id"]
+        for r in gray_code_permutation(edges, nodes, max_prefix=None).collect()
+    }
+    assert g_bounded == g_exact

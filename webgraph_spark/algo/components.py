@@ -231,16 +231,19 @@ def renumber_by_size(components: DataFrame) -> DataFrame:
     """Relabel components 0,1,2,... by decreasing size, ties by min member id
     (``ConnectedComponents.sortBySize``, ``ConnectedComponents.java:163-173``).
 
-    The window runs over one row per *component* (not per node), so the
-    single-partition window is bounded by the component count; for graphs
-    with O(n) tiny components swap in mint_dense_ids on (size, comp) rank.
+    Ranks are minted with the two-pass dense-id pattern on ``(-size, comp)``
+    — range-partitioned sort + per-partition offsets — so a shattered graph
+    with O(n) tiny components (the near-dup-cluster output shape) never
+    funnels through a single-partition window.
     """
+    from webgraph_spark.sources.ids import mint_dense_ids
+
     sizes = components.groupBy("comp").agg(F.count(F.lit(1)).alias("size"))
-    w = Window.orderBy(F.desc("size"), F.asc("comp"))
-    mapping = sizes.select(
-        "comp", (F.row_number().over(w) - 1).alias("component")
+    keyed = sizes.select((-F.col("size")).alias("__negsz"), "comp")
+    mapping = mint_dense_ids(keyed, ["__negsz", "comp"], id_col="component")
+    return components.join(mapping.select("comp", "component"), "comp").select(
+        "id", "component"
     )
-    return components.join(mapping, "comp").select("id", "component")
 
 
 def largest_component(components: DataFrame) -> DataFrame:

@@ -27,22 +27,29 @@ def all_pairs_distances(
     max_depth: int = 64,
 ) -> DataFrame:
     """``(s, v, dist)`` for every source s and node v reachable from it."""
+    from pyspark.sql import Observation
+
     visited = sources.select(
         F.col("id").alias("s"), F.col("id").alias("v")
     ).withColumn("dist", F.lit(0)).transform(checkpoint_state)
     frontier = visited
     for depth in range(1, max_depth + 1):
+        # one action per level: the frontier count rides the eager
+        # checkpoint (no separate isEmpty job); visited stays a lazy union
+        # of checkpointed level frames (bfs.py pattern).
+        obs = Observation()
         nxt = (
             frontier.join(edges, frontier["v"] == edges["src"])
             .select("s", F.col("dst").alias("v"))
             .distinct()
             .join(visited.select("s", "v"), ["s", "v"], "left_anti")
             .withColumn("dist", F.lit(depth))
+            .observe(obs, F.count(F.lit(1)).alias("c"))
             .transform(checkpoint_state)
         )
-        if nxt.isEmpty():
+        if int(obs.get["c"] or 0) == 0:
             break
-        visited = visited.unionByName(nxt).transform(checkpoint_state)
+        visited = visited.unionByName(nxt)
         frontier = nxt
     return visited
 

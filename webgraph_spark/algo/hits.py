@@ -5,9 +5,12 @@ tools in its companion law library, not HITS); semantics are the standard
 mutual recursion: auth(v) = Σ_{u→v} hub(u), hub(u) = Σ_{u→v} auth(v), each
 L2-normalized per half-step. Deterministic given (graph, max_iter, tol).
 
-Scale shape: the edge table is cached hash-partitioned TWICE — by dst for
-the authority gather and by src for the hub gather — so neither half-step
-re-exchanges the graph; only the O(n) score table moves. One iteration is
+Scale shape: the edge table is cached hash-partitioned TWICE — by src for
+the authority gather (which joins hub scores ON src) and by dst for the hub
+gather (which joins authority scores ON dst) — so neither half-step
+re-exchanges the graph; only the O(n) score table moves, and the post-join
+groupBy shrinks via partial aggregation before its exchange (the same trade
+the LPA/CC loops document). One iteration is
 exactly TWO Spark actions (one per half-step): each half-step's squared
 norm rides its eager checkpoint as an observed metric and is applied as a
 driver-scalar divide inside the NEXT half-step's expressions (the same
@@ -74,8 +77,18 @@ def hits(
         t0 = time.monotonic()
         # authority half-step: raw gather + its squared norm on the action
         a_obs = Observation()
+        # SHUFFLE_HASH on the state side: the checkpointed score frame has
+        # unknown stats (ExistingRDD) — without the hint AQE can broadcast-
+        # build the persisted EDGE side each half-step (the labelprop.py
+        # trap); with it the O(n) scores shuffle and the cached
+        # pre-partitioned arcs stream with no exchange.
         auth_raw = (
-            by_dst.join(state.select(F.col("id").alias("src"), "hub"), "src")
+            by_src.join(
+                state.select(F.col("id").alias("src"), "hub").hint(
+                    "shuffle_hash"
+                ),
+                "src",
+            )
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum("hub").alias("auth_raw"))
         )
@@ -97,11 +110,11 @@ def hits(
         # norm AND ⟨raw, old⟩ ride the same action for the L2 delta
         h_obs = Observation()
         hub_raw = (
-            by_src.join(
+            by_dst.join(
                 a_state.select(
                     F.col("id").alias("dst"),
                     (F.col("auth_raw") / a_norm).alias("auth"),
-                ),
+                ).hint("shuffle_hash"),
                 "dst",
             )
             .groupBy(F.col("src").alias("id"))

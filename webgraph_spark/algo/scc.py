@@ -125,6 +125,13 @@ def strongly_connected_components(
         visited = roots.transform(checkpoint_state)
         frontier = visited
         while True:
+            # one action per level: the frontier count rides the eager
+            # checkpoint as an observed metric (same pattern as
+            # components.py / bfs.py — no separate isEmpty job), and
+            # ``visited`` stays a lazy union of already-checkpointed level
+            # frames (re-checkpointing the growing union each level would
+            # re-copy all visited rows per level).
+            obs = Observation()
             nxt = (
                 same_col_rev.join(
                     frontier.hint("shuffle_hash"),
@@ -135,11 +142,12 @@ def strongly_connected_components(
                 .join(
                     visited.select("id").hint("shuffle_hash"), "id", "left_anti"
                 )
+                .observe(obs, F.count(F.lit(1)).alias("c"))
                 .transform(checkpoint_state)
             )
-            if nxt.isEmpty():
+            if int(obs.get["c"] or 0) == 0:
                 break
-            visited = visited.unionByName(nxt).transform(checkpoint_state)
+            visited = visited.unionByName(nxt)
             frontier = nxt
         part = visited.select("id", F.col("col").alias("comp"))
         assigned_parts.append(part)

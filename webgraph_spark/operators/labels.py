@@ -19,9 +19,13 @@ from collections.abc import Callable
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# Merge strategies for duplicate arcs (LabelMergeStrategy implementations;
-# keep-last is order-dependent and therefore not reproducible distributed —
-# the deterministic strategies below are the supported surface).
+# Merge strategies for duplicate arcs (LabelMergeStrategy implementations).
+# "last"/"first" — the fork's DEFAULT duplicate-arc resolution
+# (``ScatteredLabelledArcsASCIIGraph.java:197-294``, keep-last) — are
+# order-dependent in the file but deterministic distributed once each row
+# carries its input sequence number (``seq_col``): keep-last is
+# ``max(struct(seq, label))``, a hash-aggregable declarative form (not
+# ``max_by``, which plans as SortAggregate).
 MERGE_STRATEGIES: dict[str, Callable[[Column], Column]] = {
     "min": F.min,
     "max": F.max,
@@ -31,10 +35,31 @@ MERGE_STRATEGIES: dict[str, Callable[[Column], Column]] = {
 
 
 def merge_duplicate_arcs(
-    labelled_edges: DataFrame, strategy: str = "min", label_col: str = "label"
+    labelled_edges: DataFrame,
+    strategy: str = "min",
+    label_col: str = "label",
+    seq_col: str | None = None,
 ) -> DataFrame:
     """Collapse duplicate (src, dst) arcs, merging labels
-    (``ScatteredLabelledArcsASCIIGraph.java:197-294`` ingestion semantics)."""
+    (``ScatteredLabelledArcsASCIIGraph.java:197-294`` ingestion semantics).
+
+    ``strategy="last"``/``"first"`` require ``seq_col`` — a column totally
+    ordering the input rows (the reader's line number); the kept label is
+    the one on the max/min-sequence duplicate, matching the sequential
+    reference reader's keep-last default bit-for-bit. If ``seq_col`` is NOT
+    unique within a (src, dst) group, ties break deterministically by
+    max/min label (the struct comparison's second component).
+    """
+    if strategy in ("last", "first"):
+        if seq_col is None:
+            raise ValueError(
+                f"strategy {strategy!r} needs seq_col (input order column)"
+            )
+        pick = F.max if strategy == "last" else F.min
+        agg = pick(
+            F.struct(F.col(seq_col).alias("s"), F.col(label_col).alias("l"))
+        )["l"].alias(label_col)
+        return labelled_edges.groupBy("src", "dst").agg(agg)
     agg = MERGE_STRATEGIES[strategy](F.col(label_col)).alias(label_col)
     return labelled_edges.groupBy("src", "dst").agg(agg)
 

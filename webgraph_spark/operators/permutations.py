@@ -8,6 +8,26 @@ within host), fed to ``Transform.map``. Here a permutation is a map table
 ranks are minted with the two-pass dense-id pattern (no single-partition
 window, scales to any node count).
 
+**Bounded sort keys (default).** Sorting nodes by their FULL successor
+array is a scale-killer on hubs: a 10M-successor node materializes an
+~80 MB single sort cell and drags it through two shuffles. The default rule
+is therefore bounded: the key is ``(first max_prefix successors, degree,
+tie_hash, id)`` where ``tie_hash`` is an order-insensitive XOR of per-
+successor hashes. Nodes that differ within the prefix sort exactly as the
+exact rule; nodes identical on the prefix (necessarily sharing ≥max_prefix
+successors) tie-break by (degree, hash, id) — a documented deviation from
+exact adjacency order that changes nothing for compression locality.
+The plan is hub-safe end-to-end: one shuffle by src feeds a windowed
+row_number, only the ≤max_prefix surviving rows are collected into the
+prefix array, and degree/tie-hash are plain aggregates — no full-list cell
+exists anywhere. Exact mode (``max_prefix=None``) keeps the full-array key
+for small graphs.
+
+``hash_fn="portable"`` swaps the tie-hash to the md5-based 60-bit hash an
+independent SQL engine can replay bit-for-bit
+(:mod:`webgraph_spark.functions.porthash`); xxhash64 stays the throughput
+default.
+
 The corpus analogue of URL ordering — ranking by ``(repo, path)`` — is
 :func:`permute_by_key`; it delivers the locality benefit the Gray-code
 orderings chase (successors of files in one repo mostly point into the same
@@ -16,10 +36,13 @@ repo, so gap-encoded successor ids shrink).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from webgraph_spark.functions.porthash import PORTABLE, portable_hash60
 from webgraph_spark.sources.ids import mint_dense_ids
+
+DEFAULT_MAX_PREFIX = 64
 
 
 def _rank_to_map(keyed: DataFrame, id_col: str = "id") -> DataFrame:
@@ -42,42 +65,79 @@ def random_permutation(nodes: DataFrame, seed: int = 42) -> DataFrame:
     return _rank_to_map(keyed)
 
 
+def _tie_hash(col, hash_fn: str):
+    """Per-successor hash whose XOR is the order-insensitive tie-break."""
+    if hash_fn == PORTABLE:
+        return portable_hash60(col.cast("string"), "#perm")
+    return F.xxhash64(col)
+
+
+def _bounded_succ_agg(
+    edges: DataFrame, max_prefix: int, hash_fn: str
+) -> DataFrame:
+    """``(id, __k, __deg, __th)`` per source: sorted prefix of the first
+    ``max_prefix`` successors, out-degree, and the XOR tie-hash over ALL
+    successors. One shuffle (by src); the window's row_number gates the
+    collect_list so no cell ever exceeds ``max_prefix`` elements."""
+    spark = edges.sparkSession
+    p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    w = Window.partitionBy("src").orderBy("dst")
+    ranked = (
+        edges.select("src", "dst")
+        .repartition(p, "src")
+        .withColumn("__rn", F.row_number().over(w))
+    )
+    return ranked.groupBy(F.col("src").alias("id")).agg(
+        F.array_sort(
+            F.collect_list(F.when(F.col("__rn") <= max_prefix, F.col("dst")))
+        ).alias("__k"),
+        F.count(F.lit(1)).cast("long").alias("__deg"),
+        F.coalesce(
+            F.bit_xor(_tie_hash(F.col("dst"), hash_fn)), F.lit(0)
+        ).alias("__th"),
+    )
+
+
+def _filled_succ_key(
+    edges: DataFrame, nodes: DataFrame, max_prefix: int, hash_fn: str
+) -> DataFrame:
+    succ = _bounded_succ_agg(edges, max_prefix, hash_fn)
+    return nodes.join(succ, "id", "left").select(
+        "id",
+        F.coalesce("__k", F.array().cast("array<long>")).alias("__k"),
+        F.coalesce("__deg", F.lit(0)).alias("__deg"),
+        F.coalesce("__th", F.lit(0)).alias("__th"),
+    )
+
+
 def lexicographic_permutation(
-    edges: DataFrame, nodes: DataFrame, max_prefix: int | None = None
+    edges: DataFrame,
+    nodes: DataFrame,
+    max_prefix: int | None = DEFAULT_MAX_PREFIX,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Order nodes by their successor list, lexicographically
     (``Transform.lexicographicalPermutation``, ``Transform.java:2551-2584``).
 
-    The sort key is the sorted successor ARRAY (Spark orders array columns
-    element-wise lexicographically; the empty array sorts first, matching an
-    all-zero adjacency row); ties broken by id. No per-node string key is
-    materialized — the array is 8 bytes/successor and feeds range
-    partitioning + in-partition sort directly.
-
-    ``max_prefix`` bounds the key for hub nodes at scale: the key becomes
-    ``(first max_prefix successors, degree)`` — nodes identical on the
-    bounded prefix tie-break by (degree, id) instead of the full list, a
-    documented deviation from exact lexicographic order (default None =
-    exact).
+    Default is the bounded rule (module docstring): key =
+    ``(prefix, degree, tie_hash, id)``. ``max_prefix=None`` sorts by the
+    exact successor ARRAY (Spark orders array columns element-wise; the
+    empty array sorts first, matching an all-zero adjacency row) — opt-in,
+    for graphs without huge hubs.
     """
-    succ = edges.groupBy(F.col("src").alias("id")).agg(
-        F.array_sort(F.collect_list("dst")).alias("__succs")
-    )
-    joined = nodes.join(succ, "id", "left").select(
-        "id",
-        F.coalesce("__succs", F.array().cast("array<long>")).alias("__succs"),
-    )
-    if max_prefix is not None:
-        keyed = joined.select(
+    if max_prefix is None:
+        succ = edges.groupBy(F.col("src").alias("id")).agg(
+            F.array_sort(F.collect_list("dst")).alias("__succs")
+        )
+        keyed = nodes.join(succ, "id", "left").select(
             "id",
-            F.slice("__succs", 1, max_prefix).alias("__k"),
-            F.size("__succs").cast("long").alias("__deg"),
+            F.coalesce("__succs", F.array().cast("array<long>")).alias("__k"),
             F.col("id").alias("__t"),
         )
-    else:
-        keyed = joined.select(
-            "id", F.col("__succs").alias("__k"), F.col("id").alias("__t")
-        )
+        return _rank_to_map(keyed)
+    keyed = _filled_succ_key(edges, nodes, max_prefix, hash_fn).withColumn(
+        "__t", F.col("id")
+    )
     return _rank_to_map(keyed)
 
 
@@ -108,45 +168,99 @@ def gray_code_key(succs_col) -> "F.Column":
     return F.concat(body, F.array(sentinel))
 
 
-def gray_code_permutation(edges: DataFrame, nodes: DataFrame) -> DataFrame:
+def _gray_bounded_key(prefix_col, deg_col, max_prefix: int) -> "F.Column":
+    """Gray transform of a bounded prefix. When the prefix IS the full list
+    (degree ≤ max_prefix) this equals the exact Gray key, sentinel included;
+    longer lists omit the sentinel and fall through to the
+    (degree, tie_hash, id) tie-break."""
+    body = F.transform(
+        prefix_col, lambda a, i: F.when(i % 2 == 0, -a).otherwise(a)
+    )
+    sentinel = F.when(
+        deg_col % 2 == 1, F.lit(_GRAY_BIG)
+    ).otherwise(F.lit(-_GRAY_BIG))
+    return F.when(
+        deg_col <= max_prefix, F.concat(body, F.array(sentinel))
+    ).otherwise(body)
+
+
+def gray_code_permutation(
+    edges: DataFrame,
+    nodes: DataFrame,
+    max_prefix: int | None = DEFAULT_MAX_PREFIX,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
     """Order nodes by Gray-code rank of their adjacency row
     (``Transform.grayCodePermutation``, ``Transform.java:2468-2545``);
     ties broken by id. Same two-pass dense-rank machinery as the other
-    permutations — no driver-side sort, no bit matrices."""
-    succ = edges.groupBy(F.col("src").alias("id")).agg(
-        F.array_sort(F.collect_list("dst")).alias("__succs")
-    )
-    keyed = (
-        nodes.join(succ, "id", "left")
-        .select(
-            "id",
-            gray_code_key(
-                F.coalesce("__succs", F.array().cast("array<long>"))
-            ).alias("__k"),
-            F.col("id").alias("__t"),
+    permutations — no driver-side sort, no bit matrices. Default is the
+    bounded rule over the Gray-transformed prefix (module docstring);
+    ``max_prefix=None`` opts into the exact full-array key."""
+    if max_prefix is None:
+        succ = edges.groupBy(F.col("src").alias("id")).agg(
+            F.array_sort(F.collect_list("dst")).alias("__succs")
         )
+        keyed = (
+            nodes.join(succ, "id", "left")
+            .select(
+                "id",
+                gray_code_key(
+                    F.coalesce("__succs", F.array().cast("array<long>"))
+                ).alias("__k"),
+                F.col("id").alias("__t"),
+            )
+        )
+        return _rank_to_map(keyed)
+    filled = _filled_succ_key(edges, nodes, max_prefix, hash_fn)
+    keyed = filled.select(
+        "id",
+        _gray_bounded_key(F.col("__k"), F.col("__deg"), max_prefix).alias("__k"),
+        "__deg",
+        "__th",
+        F.col("id").alias("__t"),
     )
     return _rank_to_map(keyed)
 
 
 def host_gray_permutation(
-    edges: DataFrame, node_attrs: DataFrame, host_cols: list[str]
+    edges: DataFrame,
+    node_attrs: DataFrame,
+    host_cols: list[str],
+    max_prefix: int | None = DEFAULT_MAX_PREFIX,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Group nodes by host key, Gray-code order within each host
     (``Transform.hostByHostGrayCodePermutation``, ``Transform.java:2587-2641``;
     for a code corpus the 'host' is the repo). ``node_attrs`` is
-    ``(id, *host_cols)``."""
-    succ = edges.groupBy(F.col("src").alias("id")).agg(
-        F.array_sort(F.collect_list("dst")).alias("__succs")
-    )
+    ``(id, *host_cols)``. Same bounded default as
+    :func:`gray_code_permutation`."""
+    if max_prefix is None:
+        succ = edges.groupBy(F.col("src").alias("id")).agg(
+            F.array_sort(F.collect_list("dst")).alias("__succs")
+        )
+        keyed = (
+            node_attrs.join(succ, "id", "left")
+            .select(
+                "id",
+                *host_cols,
+                gray_code_key(
+                    F.coalesce("__succs", F.array().cast("array<long>"))
+                ).alias("__k"),
+                F.col("id").alias("__t"),
+            )
+        )
+        return _rank_to_map(keyed)
+    filled = _filled_succ_key(edges, node_attrs.select("id"), max_prefix, hash_fn)
     keyed = (
-        node_attrs.join(succ, "id", "left")
+        node_attrs.join(filled, "id")
         .select(
             "id",
             *host_cols,
-            gray_code_key(
-                F.coalesce("__succs", F.array().cast("array<long>"))
+            _gray_bounded_key(
+                F.col("__k"), F.col("__deg"), max_prefix
             ).alias("__k"),
+            "__deg",
+            "__th",
             F.col("id").alias("__t"),
         )
     )

@@ -127,6 +127,13 @@ def widen_small_input(df: DataFrame, num_partitions: int | None = None) -> DataF
         return df
     spark = df.sparkSession
     p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # fast path: a scan backed by >= p files has >= p splits — answered
+    # from the analyzed logical plan, no RDD conversion / physical planning
+    try:
+        if len(df.inputFiles()) >= p:
+            return df
+    except Exception:
+        pass
     if df.rdd.getNumPartitions() >= p:
         return df
     return df.repartition(p)
@@ -138,19 +145,28 @@ def salted_sum(
     value: str,
     num_salts: int = 16,
     out_col: str | None = None,
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Two-stage salted sum: groupBy(key, salt) partial -> groupBy(key) final.
 
     Caps any single reducer's input at ~|rows(key)| / num_salts; use for
     power-law keys (hub vertices) where AQE skew handling does not apply
     (it only splits join partitions, not aggregations).
+
+    The salt hashes ``salt_cols`` (default: ``[key, value]``). The reducer
+    cap only holds when the hashed columns are high-cardinality WITHIN a hot
+    key: summing a constant (count-by-summing-1s) with the default maps
+    every row of the key to ONE salt — pass the row's high-cardinality
+    discriminator columns (e.g. the other join key, a row id) as
+    ``salt_cols`` in that case.
     """
     out_col = out_col or value
     # salt must be DETERMINISTIC per row content: a retried map task must
     # re-salt identically or partial aggregates double/lose rows
     # (the SPARK-23207 class of bug) — hash the row's own columns, never
     # monotonically_increasing_id/rand.
-    salt = F.pmod(F.xxhash64(F.col(key), F.col(value)), F.lit(num_salts))
+    cols = salt_cols if salt_cols is not None else [key, value]
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(num_salts))
     partial = (
         df.withColumn("__salt", salt)
         .groupBy(key, "__salt")

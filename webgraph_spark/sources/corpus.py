@@ -83,7 +83,12 @@ def _target_fid(gidx: Column, files_per_repo: int, seed: int) -> Column:
     c = _pm(_mix(gidx, 6, seed), f)
     prod = a * b * c
     denom = f * f
-    return ((prod - F.pmod(prod, F.lit(denom))) / denom).cast("long")
+    # exact integer division: subtract the remainder, then divide as
+    # DECIMAL(38,0) (a double `/` loses exactness once prod exceeds 2^53 —
+    # files_per_repo > ~2e5 — and the truncating cast can land one below
+    # DuckDB's exact `//`)
+    exact = (prod - F.pmod(prod, F.lit(denom))).cast("decimal(38,0)")
+    return (exact / F.lit(denom)).cast("long")
 
 
 def _target_fid_sql(gidx: str, files_per_repo: int, seed: int) -> str:

@@ -182,25 +182,52 @@ def read_scattered_labelled_arcs(
     spark: SparkSession,
     path: str,
     sep: str = "\t",
-    merge_strategy: str = "min",
+    merge_strategy: str = "last",
 ) -> tuple[DataFrame, DataFrame]:
     """Labelled scattered arcs (fork surface,
     ``labelling/ScatteredLabelledArcsASCIIGraph.java:139``): third column is
-    an integer label; duplicate arcs merge labels via ``merge_strategy``
-    (the deterministic ``LabelMergeStrategy`` analogues — keep-last is
-    order-dependent and unsupported distributed)."""
-    raw = spark.read.csv(
-        path, sep=sep, schema="k_src long, k_dst long, label long", comment="#"
-    )
+    an integer label; duplicate arcs merge labels via ``merge_strategy``.
+
+    Default is ``"last"`` — the fork's own default duplicate resolution
+    (``ScatteredLabelledArcsASCIIGraph.java:197-294``; exercised by its
+    ``ScatteredLabelledArcsASCIIGraphTest.java:89-295``) — made
+    deterministic distributed by carrying each arc's input line number and
+    merging with ``max(struct(line_no, label))``. The aggregate strategies
+    (min/max/sum/count) skip the line-number pass entirely."""
+    if merge_strategy in ("last", "first"):
+        numbered = _with_line_numbers(spark.read.text(path))
+        parts = F.split(F.col("value"), sep)
+        raw = (
+            numbered.filter(
+                (F.length(F.trim("value")) > 0)
+                & ~F.col("value").startswith("#")
+            )
+            .select(
+                F.element_at(parts, 1).cast("long").alias("k_src"),
+                F.element_at(parts, 2).cast("long").alias("k_dst"),
+                F.element_at(parts, 3).cast("long").alias("label"),
+                F.col("line_no").alias("__seq"),
+            )
+        )
+    else:
+        raw = spark.read.csv(
+            path, sep=sep, schema="k_src long, k_dst long, label long", comment="#"
+        )
     keys = raw.select(F.col("k_src").alias("key")).unionAll(
         raw.select(F.col("k_dst").alias("key"))
     )
     node_map = mint_dense_ids(keys, ["key"])
     src_m = node_map.select(F.col("id").alias("src"), F.col("key").alias("__ks"))
     dst_m = node_map.select(F.col("id").alias("dst"), F.col("key").alias("__kd"))
+    extra = ["__seq"] if merge_strategy in ("last", "first") else []
     labelled = (
         raw.join(src_m, raw["k_src"] == src_m["__ks"])
         .join(dst_m, raw["k_dst"] == dst_m["__kd"])
-        .select("src", "dst", "label")
+        .select("src", "dst", "label", *extra)
     )
-    return node_map, merge_duplicate_arcs(labelled, merge_strategy)
+    merged = merge_duplicate_arcs(
+        labelled,
+        merge_strategy,
+        seq_col="__seq" if merge_strategy in ("last", "first") else None,
+    )
+    return node_map, merged
