@@ -56,12 +56,17 @@ from webgraph_spark.algo.pagerank import (
     pagerank,
     pagerank_edges,
     pagerank_weighted,
+    personalized_pagerank,
 )
 from webgraph_spark.algo.pagerank_block import pagerank_block
 from webgraph_spark.algo.triangles import (
+    global_clustering_coefficient,
+    local_clustering_coefficient,
     triangle_count_adjacency,
     triangles_per_vertex,
 )
+from webgraph_spark.algo.kcore import k_core
+from webgraph_spark.algo.hits import hits
 from webgraph_spark.functions.dedup import (
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -71,7 +76,11 @@ from webgraph_spark.functions.multimodal import (
     decode_media,
     synth_media,
 )
-from webgraph_spark.functions.similarity import cosine_topk, cosine_topk_lsh
+from webgraph_spark.functions.similarity import (
+    cosine_topk,
+    cosine_topk_ivf,
+    cosine_topk_lsh,
+)
 from webgraph_spark.functions.text import (
     STOPWORDS,
     BPE_TOKEN_RE,
@@ -80,7 +89,10 @@ from webgraph_spark.functions.text import (
     langid,
     with_text_stats,
 )
-from webgraph_spark.algo.geometric import geometric_centralities
+from webgraph_spark.algo.geometric import (
+    geometric_centralities,
+    top_k_geometric,
+)
 from webgraph_spark.algo.hyperball import hyperball
 from webgraph_spark.algo.betweenness import betweenness
 from webgraph_spark.algo.scc import strongly_connected_components
@@ -88,7 +100,11 @@ from webgraph_spark.algo.simrank import simrank
 from webgraph_spark.algo.sumsweep import sumsweep_diameter_radius
 from webgraph_spark.operators.tools import extract_component, gap_stats
 from webgraph_spark.operators import transform as T
-from webgraph_spark.operators.labels import compose_semiring, merge_duplicate_arcs
+from webgraph_spark.operators.labels import (
+    compose_semiring,
+    merge_duplicate_arcs,
+    union_labelled,
+)
 from webgraph_spark.operators.permutations import (
     degree_permutation,
     gray_code_permutation,
@@ -233,6 +249,110 @@ def _pagerank_sql(
     return _with(
         *ctes, select=f"SELECT id, ROUND(rank, 9) AS rank FROM r{iters}"
     )
+
+
+def _ppr_sql(iters: int, src_pred: str = "id < 10") -> str:
+    """Unrolled personalized PageRank, term-for-term the Spark rule:
+    teleport AND dangling mass go uniformly to the source set."""
+    ctes = [
+        EDGES_CTE,
+        NODES_CTE,
+        "deg AS (SELECT src AS id, CAST(count(*) AS DOUBLE) AS dg "
+        "FROM edges GROUP BY src)",
+        f"srcs AS (SELECT id FROM nodes WHERE {src_pred})",
+        "ns AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM srcs)",
+        "r0 AS (SELECT n.id, CASE WHEN s.id IS NOT NULL "
+        "THEN 1.0 / (SELECT n FROM ns) ELSE 0.0 END AS rank "
+        "FROM nodes n LEFT JOIN srcs s ON s.id = n.id)",
+    ]
+    for k in range(iters):
+        p = f"r{k}"
+        ctes.append(
+            f"d{k} AS (SELECT 1.0 - COALESCE(sum(p.rank), 0.0) AS dm "
+            f"FROM {p} p JOIN deg ON deg.id = p.id)"
+        )
+        ctes.append(
+            f"c{k} AS (SELECT e.dst AS id, sum(p.rank / deg.dg) AS contrib "
+            f"FROM edges e JOIN {p} p ON p.id = e.src "
+            f"JOIN deg ON deg.id = e.src GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"r{k + 1} AS (SELECT n.id, "
+            f"(CASE WHEN s.id IS NOT NULL THEN "
+            f"(1.0 - {ALPHA}) / (SELECT n FROM ns) "
+            f"+ {ALPHA} * (SELECT dm FROM d{k}) / (SELECT n FROM ns) "
+            f"ELSE 0.0 END) + {ALPHA} * COALESCE(c.contrib, 0.0) AS rank "
+            f"FROM nodes n LEFT JOIN srcs s ON s.id = n.id "
+            f"LEFT JOIN c{k} c ON c.id = n.id)"
+        )
+    return _with(
+        *ctes, select=f"SELECT id, ROUND(rank, 9) AS rank FROM r{iters}"
+    )
+
+
+def _hits_sql(iters: int) -> str:
+    """Unrolled coupled HITS power iteration: auth gather -> L2 normalize ->
+    hub gather -> L2 normalize, exactly the Spark half-step order; the final
+    frame pairs the last hub vector with the last iteration's auth."""
+    ctes = [
+        EDGES_CTE,
+        NODES_CTE,
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
+        "h0 AS (SELECT id, 1.0 / sqrt((SELECT n FROM nn)) AS hub FROM nodes)",
+    ]
+    for k in range(iters):
+        ctes.append(
+            f"ar{k} AS MATERIALIZED (SELECT n.id, COALESCE(g.v, 0.0) AS araw FROM nodes n "
+            f"LEFT JOIN (SELECT e.dst AS id, sum(h.hub) AS v FROM edges e "
+            f"JOIN h{k} h ON h.id = e.src GROUP BY e.dst) g ON g.id = n.id)"
+        )
+        ctes.append(
+            f"an{k} AS MATERIALIZED (SELECT sqrt(sum(araw * araw)) AS nrm FROM ar{k})"
+        )
+        ctes.append(
+            f"a{k} AS MATERIALIZED (SELECT id, araw / (SELECT nrm FROM an{k}) AS auth "
+            f"FROM ar{k})"
+        )
+        ctes.append(
+            f"hr{k} AS MATERIALIZED (SELECT n.id, COALESCE(g.v, 0.0) AS hraw FROM nodes n "
+            f"LEFT JOIN (SELECT e.src AS id, sum(a.auth) AS v FROM edges e "
+            f"JOIN a{k} a ON a.id = e.dst GROUP BY e.src) g ON g.id = n.id)"
+        )
+        ctes.append(
+            f"hn{k} AS MATERIALIZED (SELECT sqrt(sum(hraw * hraw)) AS nrm FROM hr{k})"
+        )
+        ctes.append(
+            f"h{k + 1} AS MATERIALIZED (SELECT id, hraw / (SELECT nrm FROM hn{k}) AS hub "
+            f"FROM hr{k})"
+        )
+    return _with(
+        *ctes,
+        select=f"SELECT h.id, ROUND(h.hub, 9) AS hub, "
+        f"ROUND(a.auth, 9) AS auth "
+        f"FROM h{iters} h JOIN a{iters - 1} a ON a.id = h.id",
+    )
+
+
+def _kcore_sql(k: int, rounds: int, mod: int = 1500) -> str:
+    """Unrolled parallel peel on the mod graph: each round keeps survivors
+    whose induced undirected degree >= k. The peel is monotone, so extra
+    rounds past the fixpoint are no-ops; ``rounds`` just needs to exceed
+    the peel depth (13 at sf0.01 with k=56 — unroll leaves margin)."""
+    ctes = [
+        f"sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM ("
+        f"SELECT l_orderkey % {mod} AS src, l_partkey % {mod} AS dst "
+        f"FROM lineitem UNION ALL "
+        f"SELECT l_partkey % {mod}, l_orderkey % {mod} FROM lineitem) t "
+        f"WHERE src <> dst)",
+        "a0 AS MATERIALIZED (SELECT DISTINCT src AS id FROM sym)",
+    ]
+    for r in range(rounds):
+        ctes.append(
+            f"a{r + 1} AS MATERIALIZED (SELECT s.src AS id FROM sym s "
+            f"JOIN a{r} x ON x.id = s.src JOIN a{r} y ON y.id = s.dst "
+            f"GROUP BY s.src HAVING count(*) >= {k})"
+        )
+    return _with(*ctes, select=f"SELECT id FROM a{rounds}")
 
 
 def _lpa_sql(iters: int) -> str:
@@ -493,6 +613,23 @@ _ORIENTED_CTES = (
 )
 
 _GRAY_BIG = 1 << 62
+
+# exact brute-force cosine top-k (k=5, queries vec_id < 8) — the oracle for
+# BOTH the bounded baseline and the probe-all IVF configuration
+_COSINE_TOPK_SQL = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+q AS (SELECT vec_id, e FROM v WHERE vec_id < 8),
+sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+  list_dot_product(q.e, c.e)
+    / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e)))
+    AS score
+  FROM v c, q WHERE c.vec_id <> q.vec_id),
+r AS (SELECT query_id, neighbor_id, score,
+  row_number() OVER (PARTITION BY query_id
+                     ORDER BY score DESC, neighbor_id ASC) AS rn FROM sc)
+SELECT query_id, neighbor_id, ROUND(score, 6) AS score,
+  CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 5
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -925,6 +1062,110 @@ def _q_gray_permutation(spark, sf_dir):
     return gray_code_permutation(e, _nodes(e), hash_fn="portable")
 
 
+def _mod_graph(spark, sf_dir, mod: int = 1500):
+    """Sparser derived graph than the 120-node headline fixture: mod-1500
+    projection of the order->part incidence (~1500 nodes, avg undirected
+    degree ~150 at sf0.01, heavy-tailed) — deep enough for a multi-round
+    k-core peel."""
+    return _lineitem(spark, sf_dir).select(
+        (F.col("l_orderkey") % mod).cast("long").alias("src"),
+        (F.col("l_partkey") % mod).cast("long").alias("dst"),
+    )
+
+
+def _q_k_core(spark, sf_dir):
+    """Peeling fixpoint (Seidman k-core) on the mod-1500 graph; k=56 peels
+    ~13 rounds at sf0.01 — a genuinely iterative fixture, not a one-shot
+    degree filter."""
+    return k_core(_mod_graph(spark, sf_dir), k=56).nodes
+
+
+HITS_ITERS = 8
+
+
+def _q_hits(spark, sf_dir):
+    """Fixed-iteration HITS (tol=0 disables early exit) so the DuckDB
+    oracle unrolls the coupled normalized power iteration term-for-term."""
+    e = _edges(spark, sf_dir)
+    res = hits(e, _nodes(e), max_iter=HITS_ITERS, tol=0.0)
+    return res.scores.select(
+        "id",
+        F.round("hub", 9).alias("hub"),
+        F.round("auth", 9).alias("auth"),
+    )
+
+
+def _q_clustering_local(spark, sf_dir):
+    out = local_clustering_coefficient(_edges(spark, sf_dir))
+    return out.select("id", F.round("lcc", 9).alias("lcc"))
+
+
+def _q_clustering_global(spark, sf_dir):
+    v = global_clustering_coefficient(_edges(spark, sf_dir))
+    # round in Spark (half-up, like DuckDB's ROUND), not Python (banker's)
+    return spark.createDataFrame([(v,)], "t double").select(
+        F.round("t", 9).alias("transitivity")
+    )
+
+
+def _q_top_k_geometric(spark, sf_dir):
+    """HyperBall-pruned candidates + exact BFS re-rank; ranking over the
+    6-decimal-rounded metric so mathematically-tied nodes order by id in
+    both engines (the oracle ranks ALL nodes exactly — it also checks that
+    the pruning never dropped a true top-k node)."""
+    e = _edges(spark, sf_dir).filter(F.col("dst") < 30)
+    return top_k_geometric(
+        e, _nodes(e), k=10, metric="harmonic", max_depth=30, rank_round=6
+    )
+
+
+def _q_personalized_pagerank(spark, sf_dir):
+    """PPR from sources {id < 10}: teleport + dangling mass concentrate on
+    the source set; fixed PR_ITERS iterations (tol=0) for the SQL unroll."""
+    e = _edges(spark, sf_dir)
+    csr = build_csr(e, num_blocks=8)
+    nodes = _nodes(e)
+    sources = nodes.filter(F.col("id") < 10)
+    res = personalized_pagerank(
+        spark, csr, nodes, sources, alpha=ALPHA, tol=0.0, max_iter=PR_ITERS
+    )
+    return res.ranks.select("id", F.round("rank", 9).alias("rank"))
+
+
+def _q_labelled_union(spark, sf_dir):
+    """Union of two overlapping labelled graphs (lineitem split by line
+    number), coincident arcs merged with max — composite semantics the
+    plain min-merge of the whole table cannot reproduce
+    (``labelling/UnionArcLabelledImmutableGraph.java:47``)."""
+    lab = _lineitem(spark, sf_dir).select(
+        F.col("l_suppkey").cast("long").alias("src"),
+        (F.col("l_partkey") % 120).cast("long").alias("dst"),
+        F.col("l_quantity").cast("long").alias("label"),
+        F.col("l_linenumber").alias("ln"),
+    )
+    g0 = merge_duplicate_arcs(lab.filter(F.col("ln") <= 3).drop("ln"), "min")
+    g1 = merge_duplicate_arcs(lab.filter(F.col("ln") > 3).drop("ln"), "min")
+    return union_labelled(g0, g1, "max")
+
+
+def _q_cosine_topk_ivf(spark, sf_dir):
+    """IVF ANN with nprobe = n_centroids: probing every bucket makes IVF
+    exactly equal to the brute-force baseline (the oracle), while the Spark
+    plan still exercises the full index path — deterministic mini-Lloyd
+    centroids, bucket assignment, bucketed candidate join, exact re-score.
+    Partial-probe recall (nprobe < n_centroids) is pytest-asserted
+    separately (tests/test_round2_ops.py)."""
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 8)
+    out = cosine_topk_ivf(emb, q, k=5, n_centroids=8, nprobe=8)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("score", 6).alias("score"),
+        F.col("rn").cast("long").alias("rn"),
+    )
+
+
 def _q_dedup_exact(spark, sf_dir):
     """Exact dedup + duplicate-group accounting in one frame: one row per
     normalized-content group, keeper = min doc id."""
@@ -1162,6 +1403,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_roundtrip": _q_text_roundtrip,
         "labelled_merge": _q_labelled_merge,
         "labelled_compose": _q_labelled_compose,
+        "labelled_union": _q_labelled_union,
+        "k_core": _q_k_core,
+        "hits": _q_hits,
+        "clustering_local": _q_clustering_local,
+        "clustering_global": _q_clustering_global,
+        "top_k_geometric": _q_top_k_geometric,
+        "personalized_pagerank": _q_personalized_pagerank,
+        "cosine_topk_ivf": _q_cosine_topk_ivf,
         "host_map": _q_host_map,
         "degree_permutation": _q_degree_permutation,
         "key_permutation": _q_key_permutation,
@@ -1434,6 +1683,58 @@ SELECT metric, value FROM (
             select="SELECT a.src, b.dst, min(a.label + b.label) AS label "
             "FROM lab a JOIN lab b ON a.dst = b.src GROUP BY a.src, b.dst",
         ),
+        "labelled_union": _with(
+            "lab AS (SELECT l_suppkey AS src, l_partkey % 120 AS dst, "
+            "CAST(floor(l_quantity) AS BIGINT) AS label, l_linenumber AS ln "
+            "FROM lineitem)",
+            "g0 AS (SELECT src, dst, min(label) AS label FROM lab "
+            "WHERE ln <= 3 GROUP BY src, dst)",
+            "g1 AS (SELECT src, dst, min(label) AS label FROM lab "
+            "WHERE ln > 3 GROUP BY src, dst)",
+            select="SELECT src, dst, max(label) AS label FROM "
+            "(SELECT * FROM g0 UNION ALL SELECT * FROM g1) u "
+            "GROUP BY src, dst",
+        ),
+        "k_core": _kcore_sql(56, 20),
+        "hits": _hits_sql(HITS_ITERS),
+        "clustering_local": _with(
+            *_ORIENTED_CTES,
+            "tv AS (SELECT id, CAST(count(*) AS BIGINT) AS tr FROM ("
+            "SELECT a AS id FROM tri UNION ALL SELECT b FROM tri "
+            "UNION ALL SELECT c FROM tri) t GROUP BY id)",
+            select="SELECT g.id, CASE WHEN g.d >= 2 THEN "
+            "ROUND(2.0 * COALESCE(tv.tr, 0) / (g.d * (g.d - 1)), 9) "
+            "ELSE 0.0 END AS lcc "
+            "FROM dg g LEFT JOIN tv ON tv.id = g.id",
+        ),
+        "clustering_global": _with(
+            *_ORIENTED_CTES,
+            "w AS (SELECT sum(d * (d - 1) / 2) AS wedges FROM dg)",
+            select="SELECT ROUND(3.0 * (SELECT count(*) FROM tri) "
+            "/ (SELECT wedges FROM w), 9) AS transitivity",
+        ),
+        # exact centralities over ALL nodes (recursive-CTE BFS), ranked by
+        # the 6-decimal-rounded harmonic with id tie-break — also proves the
+        # Spark side's HyperBall pruning kept every true top-10 node
+        "top_k_geometric": _with(
+            "edges AS (SELECT src, dst FROM (SELECT DISTINCT l_suppkey AS "
+            "src, l_partkey % 120 AS dst FROM lineitem) t WHERE dst < 30)",
+            NODES_CTE,
+            "walk AS (SELECT id AS s, id AS v, 0 AS dist FROM nodes "
+            "UNION SELECT w.s, e.dst AS v, w.dist + 1 FROM walk w "
+            "JOIN edges e ON e.src = w.v WHERE w.dist < 30)",
+            "pairs AS (SELECT s, v, min(dist) AS dist FROM walk GROUP BY s, v)",
+            "h AS (SELECT n.id, ROUND(COALESCE(a.harmonic, 0.0), 6) "
+            "AS harmonic FROM nodes n LEFT JOIN (SELECT s AS id, "
+            "sum(1.0 / dist) AS harmonic FROM pairs WHERE dist > 0 "
+            "GROUP BY s) a ON a.id = n.id)",
+            "r AS (SELECT CAST(row_number() OVER "
+            "(ORDER BY harmonic DESC, id ASC) AS INTEGER) AS rank, "
+            "id, harmonic FROM h)",
+            select="SELECT rank, id, harmonic FROM r WHERE rank <= 10",
+            recursive=True,
+        ),
+        "personalized_pagerank": _ppr_sql(PR_ITERS),
         "host_map": "SELECT source AS host, count(*) AS n_docs "
         "FROM documents GROUP BY source",
         "degree_permutation": _with(
@@ -1565,20 +1866,11 @@ cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
 SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
 FROM cand WHERE bit_count(xor(sa, sb)) <= 8
 """,
-        "cosine_topk": """
-WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-q AS (SELECT vec_id, e FROM v WHERE vec_id < 8),
-sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-  list_dot_product(q.e, c.e)
-    / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e)))
-    AS score
-  FROM v c, q WHERE c.vec_id <> q.vec_id),
-r AS (SELECT query_id, neighbor_id, score,
-  row_number() OVER (PARTITION BY query_id
-                     ORDER BY score DESC, neighbor_id ASC) AS rn FROM sc)
-SELECT query_id, neighbor_id, ROUND(score, 6) AS score,
-  CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 5
-""",
+        "cosine_topk": _COSINE_TOPK_SQL,
+        # nprobe = n_centroids probes every IVF bucket, so the candidate
+        # set is the full corpus and the result is EXACTLY the brute-force
+        # top-k — the same oracle; partial-probe recall is pytest-asserted.
+        "cosine_topk_ivf": _COSINE_TOPK_SQL,
         # full LSH-top-k replay: md5-derived ±1 hyperplanes, sign bits over
         # the floor-quantized int64 projection (bit-identical buckets across
         # engines), bucket-collision candidates, exact cosine re-score.

@@ -107,8 +107,15 @@ def top_k_geometric(
     slack: float = 3.0,
     max_depth: int = 64,
     alpha: float = 0.5,
+    rank_round: int | None = None,
 ) -> DataFrame:
     """Top-k nodes by a geometric centrality, HyperBall-pruned.
+
+    ``rank_round`` rounds the metric to that many decimals BEFORE the final
+    ranking (and in the output) — nodes whose scores are mathematically
+    equal (same distance multiset) then tie-break by id identically in any
+    engine, instead of by float summation-order noise. Use it whenever the
+    ranking must be reproducible across engines/runs.
 
     Reference: ``algo/TopKGeometricCentrality.java:80`` prunes per-source
     BFS with running cutoff bounds. The distributed analogue prunes the
@@ -173,6 +180,8 @@ def top_k_geometric(
     )
     from pyspark.sql import Window
 
+    if rank_round is not None:
+        exact = exact.withColumn(metric, F.round(metric, rank_round))
     w = Window.orderBy(F.desc(metric), F.asc("id"))
     return (
         exact.withColumn("rank", F.row_number().over(w))
