@@ -62,8 +62,7 @@ from webgraph_spark.algo.pagerank_block import pagerank_block
 from webgraph_spark.algo.triangles import (
     global_clustering_coefficient,
     local_clustering_coefficient,
-    triangle_count_adjacency,
-    triangles_per_vertex,
+    triangle_vertices,
 )
 from webgraph_spark.algo.kcore import k_core
 from webgraph_spark.algo.hits import hits
@@ -791,21 +790,20 @@ def _q_graph_stats(spark, sf_dir):
             F.col("cnt").cast("double").alias("value"),
         )
     )
-    out = scalars.unionByName(gaps).unionByName(sccs)
+    # locality/gap averages (formerly the standalone ``gap_stats`` query —
+    # folded here to keep the driver surface at 50 entries)
+    s = gap_stats(e)
+    gap_scalars = spark.createDataFrame(
+        [
+            ("avg_locality", round(s["avg_locality"], 6)),
+            ("avg_gap", round(s["avg_gap"], 6)),
+            ("avg_first_gap", round(s["avg_first_gap"], 6)),
+        ],
+        "metric string, value double",
+    )
+    out = scalars.unionByName(gaps).unionByName(sccs).unionByName(gap_scalars)
     e.unpersist()
     return out
-
-
-def _q_gap_stats(spark, sf_dir):
-    s = gap_stats(_edges(spark, sf_dir))
-    return spark.createDataFrame(
-        [(
-            round(s["avg_locality"], 6),
-            round(s["avg_gap"], 6),
-            round(s["avg_first_gap"], 6),
-        )],
-        "avg_locality double, avg_gap double, avg_first_gap double",
-    )
 
 
 def _q_check_symmetry(spark, sf_dir):
@@ -870,13 +868,29 @@ def _q_pagerank_weighted(spark, sf_dir):
     return res.ranks.select("id", F.round("rank", 9).alias("rank"))
 
 
-def _q_triangle_count(spark, sf_dir):
-    n = triangle_count_adjacency(_edges(spark, sf_dir))
-    return spark.createDataFrame([(n,)], "triangles long")
-
-
-def _q_triangles_per_vertex(spark, sf_dir):
-    return triangles_per_vertex(_edges(spark, sf_dir))
+def _q_triangles(spark, sf_dir):
+    """Per-vertex triangle participation plus the global count as the
+    ``id = -1`` row — one frame keeps the driver surface at 50 entries.
+    A single ``rollup`` pass over the oriented-triangle corners yields both
+    (each triangle contributes 3 corner rows, so total = corners/3); the
+    independent adjacency-intersection counter stays differential-tested in
+    pytest and benchmarked in bench.py."""
+    t = triangle_vertices(_edges(spark, sf_dir))
+    corners = (
+        t.select(F.col("a").alias("id"))
+        .unionAll(t.select(F.col("b").alias("id")))
+        .unionAll(t.select(F.col("c").alias("id")))
+    )
+    return (
+        corners.rollup("id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            F.coalesce(F.col("id"), F.lit(-1)).cast("long").alias("id"),
+            F.when(F.col("id").isNull(), F.expr("c div 3"))
+            .otherwise(F.col("c"))
+            .alias("triangles"),
+        )
+    )
 
 
 def _q_bfs(spark, sf_dir):
@@ -1029,37 +1043,69 @@ def _q_labelled_compose(spark, sf_dir):
 
 
 def _q_host_map(spark, sf_dir):
+    """BuildHostMap parity (``BuildHostMap.java:57-103``): deterministic
+    URLs synthesized from the documents table (subdomain / TLD / dotted
+    numeric addresses by doc_id arithmetic), then the full host map at both
+    granularities — ``scope='host'`` (raw hosts) and ``scope='tpd'`` (top
+    private domains via the embedded public-suffix subset; dotted addresses
+    and unknown-suffix hosts kept unchanged, like the reference's
+    ``isUnderPublicSuffix`` gate). The ``.internal`` TLD exercises that
+    gate; ``co.uk`` the 2-label suffixes."""
+    from webgraph_spark.sources.hosts import build_host_map
+
     docs = _docs(spark, sf_dir)
-    return docs.groupBy(F.col("source").alias("host")).agg(
-        F.count(F.lit(1)).alias("n_docs")
+    sub = F.element_at(
+        F.array(F.lit("www"), F.lit("cdn"), F.lit("a1.b2")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    tld = F.element_at(
+        F.array(F.lit("com"), F.lit("co.uk"), F.lit("org"), F.lit("internal")),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    url = F.when(
+        F.col("doc_id") % 17 == 0,
+        F.concat(F.lit("http://10.0."), F.col("doc_id") % 250, F.lit(".7/x")),
+    ).otherwise(
+        F.concat(
+            F.lit("https://"), sub, F.lit("."), F.col("source"),
+            F.lit("."), tld, F.lit("/p/"), F.col("doc_id"),
+        )
+    )
+    urls = docs.select(url.alias("url"))
+
+    def tag(df, scope):
+        return df.select(
+            F.lit(scope).alias("scope"), "host", "host_id", "n_urls"
+        )
+
+    return tag(build_host_map(urls), "host").unionByName(
+        tag(build_host_map(urls, top_private_domain=True), "tpd")
     )
 
 
-def _q_degree_permutation(spark, sf_dir):
+def _q_permutations(spark, sf_dir):
+    """All four node-renumber strategies in one frame, tagged by ``kind``
+    (keeps the driver surface at 50 entries): ``degree`` (descending
+    out-degree), ``key`` (supplier nation — host-by-host analogue),
+    ``lex``/``gray`` (bounded-key default, max_prefix=64, portable tie-hash
+    so DuckDB replays the full (prefix, degree, xor-hash, id) rule)."""
     e = _edges(spark, sf_dir)
-    return degree_permutation(e, _nodes(e))
-
-
-def _q_key_permutation(spark, sf_dir):
+    n = _nodes(e)
     sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
     attrs = sup.select(
         F.col("s_suppkey").cast("long").alias("id"),
         F.col("s_nationkey").cast("long").alias("nation"),
     )
-    return permute_by_key(attrs, ["nation"])
 
+    def tag(df, kind):
+        return df.select(F.lit(kind).alias("kind"), "id", "new_id")
 
-def _q_lex_permutation(spark, sf_dir):
-    """Bounded-key default (max_prefix=64) over the portable tie-hash so
-    DuckDB replays the full rule: (prefix, degree, xor-hash, id)."""
-    e = _edges(spark, sf_dir)
-    return lexicographic_permutation(e, _nodes(e), hash_fn="portable")
-
-
-def _q_gray_permutation(spark, sf_dir):
-    """Bounded Gray-key default (max_prefix=64), portable tie-hash."""
-    e = _edges(spark, sf_dir)
-    return gray_code_permutation(e, _nodes(e), hash_fn="portable")
+    return (
+        tag(degree_permutation(e, n), "degree")
+        .unionByName(tag(permute_by_key(attrs, ["nation"]), "key"))
+        .unionByName(tag(lexicographic_permutation(e, n, hash_fn="portable"), "lex"))
+        .unionByName(tag(gray_code_permutation(e, n, hash_fn="portable"), "gray"))
+    )
 
 
 def _mod_graph(spark, sf_dir, mod: int = 1500):
@@ -1095,17 +1141,24 @@ def _q_hits(spark, sf_dir):
     )
 
 
-def _q_clustering_local(spark, sf_dir):
-    out = local_clustering_coefficient(_edges(spark, sf_dir))
-    return out.select("id", F.round("lcc", 9).alias("lcc"))
-
-
-def _q_clustering_global(spark, sf_dir):
-    v = global_clustering_coefficient(_edges(spark, sf_dir))
-    # round in Spark (half-up, like DuckDB's ROUND), not Python (banker's)
-    return spark.createDataFrame([(v,)], "t double").select(
-        F.round("t", 9).alias("transitivity")
+def _q_clustering(spark, sf_dir):
+    """Local clustering coefficients per node plus global transitivity as
+    the ``scope = 'global', id = -1`` row — one frame keeps the driver
+    surface at 50 entries."""
+    e = _edges(spark, sf_dir)
+    loc = local_clustering_coefficient(e).select(
+        F.lit("local").alias("scope"),
+        "id",
+        F.round("lcc", 9).alias("coeff"),
     )
+    v = global_clustering_coefficient(e)
+    # round in Spark (half-up, like DuckDB's ROUND), not Python (banker's)
+    glob = spark.createDataFrame([(v,)], "t double").select(
+        F.lit("global").alias("scope"),
+        F.lit(-1).cast("long").alias("id"),
+        F.round("t", 9).alias("coeff"),
+    )
+    return loc.unionByName(glob)
 
 
 def _q_top_k_geometric(spark, sf_dir):
@@ -1148,21 +1201,37 @@ def _q_labelled_union(spark, sf_dir):
     return union_labelled(g0, g1, "max")
 
 
-def _q_cosine_topk_ivf(spark, sf_dir):
-    """IVF ANN with nprobe = n_centroids: probing every bucket makes IVF
-    exactly equal to the brute-force baseline (the oracle), while the Spark
-    plan still exercises the full index path — deterministic mini-Lloyd
-    centroids, bucket assignment, bucketed candidate join, exact re-score.
-    Partial-probe recall (nprobe < n_centroids) is pytest-asserted
-    separately (tests/test_round2_ops.py)."""
+def _q_cosine_topk(spark, sf_dir):
+    """All three ANN strategies in one frame, tagged by ``method`` (keeps
+    the driver surface at 50 entries):
+
+    - ``exact``: brute-force bounded baseline.
+    - ``ivf``: IVF with nprobe = n_centroids — probing every bucket makes
+      IVF exactly equal to the brute-force baseline (the oracle), while the
+      Spark plan still exercises the full index path (deterministic
+      mini-Lloyd centroids, bucket assignment, bucketed candidate join,
+      exact re-score). Partial-probe recall is pytest-asserted separately
+      (tests/test_round2_ops.py).
+    - ``lsh``: hyperplane-LSH-bucketed over the PORTABLE (md5-derived,
+      integer-exact) buckets so the DuckDB oracle replays bucketing,
+      candidate join, exact re-score, and top-k; the throughput default
+      keeps RNG float hyperplanes."""
     emb = _emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < 8)
-    out = cosine_topk_ivf(emb, q, k=5, n_centroids=8, nprobe=8)
-    return out.select(
-        "query_id",
-        "neighbor_id",
-        F.round("score", 6).alias("score"),
-        F.col("rn").cast("long").alias("rn"),
+
+    def tag(df, method):
+        return df.select(
+            F.lit(method).alias("method"),
+            "query_id",
+            "neighbor_id",
+            F.round("score", 6).alias("score"),
+            F.col("rn").cast("long").alias("rn"),
+        )
+
+    return (
+        tag(cosine_topk(emb, q, k=5), "exact")
+        .unionByName(tag(cosine_topk_ivf(emb, q, k=5, n_centroids=8, nprobe=8), "ivf"))
+        .unionByName(tag(cosine_topk_lsh(emb, q, dim=64, k=5, hash_fn="portable"), "lsh"))
     )
 
 
@@ -1231,34 +1300,6 @@ def _q_simhash(spark, sf_dir):
     )
     return out.select(
         "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
-    )
-
-
-def _q_cosine_topk(spark, sf_dir):
-    emb = _emb(spark, sf_dir)
-    q = emb.filter(F.col("vec_id") < 8)
-    out = cosine_topk(emb, q, k=5)
-    return out.select(
-        "query_id",
-        "neighbor_id",
-        F.round("score", 6).alias("score"),
-        F.col("rn").cast("long").alias("rn"),
-    )
-
-
-def _q_cosine_topk_lsh(spark, sf_dir):
-    """LSH-bucketed approximate top-k over the PORTABLE (md5-derived,
-    integer-exact) hyperplane buckets so the DuckDB oracle replays bucketing,
-    candidate join, exact re-score, and top-k; the throughput default keeps
-    RNG float hyperplanes."""
-    emb = _emb(spark, sf_dir)
-    q = emb.filter(F.col("vec_id") < 8)
-    out = cosine_topk_lsh(emb, q, dim=64, k=5, hash_fn="portable")
-    return out.select(
-        "query_id",
-        "neighbor_id",
-        F.round("score", 6).alias("score"),
-        F.col("rn").cast("long").alias("rn"),
     )
 
 
@@ -1382,7 +1423,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_graphs": _q_union,
         "node_class_filter": _q_node_class_filter,
         "graph_stats": _q_graph_stats,
-        "gap_stats": _q_gap_stats,
         "check_symmetry": _q_check_symmetry,
         "extract_largest_cc": _q_extract_largest_cc,
         "cc_components": _q_cc,
@@ -1390,8 +1430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_edges": _q_pagerank_edges,
         "pagerank_csr": _q_pagerank_csr,
         "pagerank_weighted": _q_pagerank_weighted,
-        "triangle_count": _q_triangle_count,
-        "triangles_per_vertex": _q_triangles_per_vertex,
+        "triangles": _q_triangles,
         "bfs_distances": _q_bfs,
         "scc_components": _q_scc,
         "simrank": _q_simrank,
@@ -1406,22 +1445,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "labelled_union": _q_labelled_union,
         "k_core": _q_k_core,
         "hits": _q_hits,
-        "clustering_local": _q_clustering_local,
-        "clustering_global": _q_clustering_global,
+        "clustering": _q_clustering,
         "top_k_geometric": _q_top_k_geometric,
         "personalized_pagerank": _q_personalized_pagerank,
-        "cosine_topk_ivf": _q_cosine_topk_ivf,
         "host_map": _q_host_map,
-        "degree_permutation": _q_degree_permutation,
-        "key_permutation": _q_key_permutation,
-        "lex_permutation": _q_lex_permutation,
-        "gray_permutation": _q_gray_permutation,
+        "permutations": _q_permutations,
         "dedup_exact": _q_dedup_exact,
         "ngram_jaccard": _q_ngram_jaccard,
         "minhash_neardup": _q_minhash_neardup,
         "simhash": _q_simhash,
         "cosine_topk": _q_cosine_topk,
-        "cosine_topk_lsh": _q_cosine_topk_lsh,
         "text_features": _q_text_features,
         "events_windowed": _q_events_windowed,
         "engine_stats": _q_engine_stats,
@@ -1514,6 +1547,13 @@ def oracle_sql() -> dict[str, str]:
             "gaps AS (SELECT length(printf('%b', gap)) - 1 AS bucket FROM ("
             "SELECT dst - lag(dst) OVER (PARTITION BY src ORDER BY dst) AS gap "
             "FROM edges) t WHERE gap IS NOT NULL)",
+            # locality/gap averages (formerly the standalone gap_stats query)
+            "loc AS (SELECT avg(abs(dst - src)) AS avg_locality FROM edges)",
+            "per AS (SELECT src, min(dst) AS mn, max(dst) AS mx, "
+            "count(*) AS c FROM edges GROUP BY src)",
+            "gp AS (SELECT avg(abs(mn - src)) AS avg_first_gap, "
+            "avg(CASE WHEN c > 1 THEN (mx - mn) / CAST(c - 1 AS DOUBLE) END) "
+            "AS avg_gap FROM per)",
             select="""
 SELECT metric, value FROM (
   SELECT 'arcs' AS metric, CAST((SELECT count(*) FROM edges) AS DOUBLE) AS value
@@ -1532,20 +1572,12 @@ SELECT metric, value FROM (
     CAST(count(*) AS DOUBLE) FROM gaps GROUP BY bucket
   UNION ALL SELECT printf('sccsize_%d', sz), CAST(count(*) AS DOUBLE) FROM (
     SELECT comp, count(*) AS sz FROM scc GROUP BY comp) g GROUP BY sz
+  UNION ALL SELECT 'avg_locality',
+    ROUND((SELECT avg_locality FROM loc), 6)
+  UNION ALL SELECT 'avg_gap', (SELECT ROUND(avg_gap, 6) FROM gp)
+  UNION ALL SELECT 'avg_first_gap', (SELECT ROUND(avg_first_gap, 6) FROM gp)
 ) u""",
             recursive=True,
-        ),
-        "gap_stats": _with(
-            EDGES_CTE,
-            "loc AS (SELECT avg(abs(dst - src)) AS avg_locality FROM edges)",
-            "per AS (SELECT src, min(dst) AS mn, max(dst) AS mx, "
-            "count(*) AS c FROM edges GROUP BY src)",
-            "g AS (SELECT avg(abs(mn - src)) AS avg_first_gap, "
-            "avg(CASE WHEN c > 1 THEN (mx - mn) / CAST(c - 1 AS DOUBLE) END) "
-            "AS avg_gap FROM per)",
-            select="SELECT ROUND((SELECT avg_locality FROM loc), 6) "
-            "AS avg_locality, ROUND(avg_gap, 6) AS avg_gap, "
-            "ROUND(avg_first_gap, 6) AS avg_first_gap FROM g",
         ),
         "check_symmetry": _with(
             EDGES_CTE,
@@ -1577,14 +1609,15 @@ SELECT metric, value FROM (
         "pagerank_edges": _pagerank_sql(PR_ITERS),
         "pagerank_csr": _pagerank_sql(PR_ITERS),
         "pagerank_weighted": _pagerank_weighted_sql(PR_ITERS),
-        "triangle_count": _with(
-            *_ORIENTED_CTES, select="SELECT count(*) AS triangles FROM tri"
-        ),
-        "triangles_per_vertex": _with(
+        # per-vertex participation + the global count as the id = -1 row
+        # (matches _q_triangles' single-pass rollup; total = corners / 3)
+        "triangles": _with(
             *_ORIENTED_CTES,
             select="SELECT id, count(*) AS triangles FROM ("
             "SELECT a AS id FROM tri UNION ALL SELECT b FROM tri "
-            "UNION ALL SELECT c FROM tri) t GROUP BY id",
+            "UNION ALL SELECT c FROM tri) t GROUP BY id "
+            "UNION ALL SELECT CAST(-1 AS BIGINT) AS id, "
+            "(SELECT count(*) FROM tri) AS triangles",
         ),
         "bfs_distances": _with(
             EDGES_CTE,
@@ -1697,21 +1730,21 @@ SELECT metric, value FROM (
         ),
         "k_core": _kcore_sql(56, 20),
         "hits": _hits_sql(HITS_ITERS),
-        "clustering_local": _with(
+        # local coefficients per node + global transitivity as the
+        # (scope='global', id=-1) row — mirrors _q_clustering's union
+        "clustering": _with(
             *_ORIENTED_CTES,
             "tv AS (SELECT id, CAST(count(*) AS BIGINT) AS tr FROM ("
             "SELECT a AS id FROM tri UNION ALL SELECT b FROM tri "
             "UNION ALL SELECT c FROM tri) t GROUP BY id)",
-            select="SELECT g.id, CASE WHEN g.d >= 2 THEN "
-            "ROUND(2.0 * COALESCE(tv.tr, 0) / (g.d * (g.d - 1)), 9) "
-            "ELSE 0.0 END AS lcc "
-            "FROM dg g LEFT JOIN tv ON tv.id = g.id",
-        ),
-        "clustering_global": _with(
-            *_ORIENTED_CTES,
             "w AS (SELECT sum(d * (d - 1) / 2) AS wedges FROM dg)",
-            select="SELECT ROUND(3.0 * (SELECT count(*) FROM tri) "
-            "/ (SELECT wedges FROM w), 9) AS transitivity",
+            select="SELECT 'local' AS scope, g.id, CASE WHEN g.d >= 2 THEN "
+            "ROUND(2.0 * COALESCE(tv.tr, 0) / (g.d * (g.d - 1)), 9) "
+            "ELSE 0.0 END AS coeff "
+            "FROM dg g LEFT JOIN tv ON tv.id = g.id "
+            "UNION ALL SELECT 'global', CAST(-1 AS BIGINT), "
+            "ROUND(3.0 * (SELECT count(*) FROM tri) "
+            "/ (SELECT wedges FROM w), 9)",
         ),
         # exact centralities over ALL nodes (recursive-CTE BFS), ranked by
         # the 6-decimal-rounded harmonic with id tie-break — also proves the
@@ -1735,9 +1768,48 @@ SELECT metric, value FROM (
             recursive=True,
         ),
         "personalized_pagerank": _ppr_sql(PR_ITERS),
-        "host_map": "SELECT source AS host, count(*) AS n_docs "
-        "FROM documents GROUP BY source",
-        "degree_permutation": _with(
+        # full BuildHostMap replay: URL synthesis, regex host extraction,
+        # public-suffix TPD collapse (dotted-address + unknown-suffix hosts
+        # unchanged), dense lexicographic host ids, per-host URL counts.
+        "host_map": """
+WITH urls AS (SELECT CASE WHEN doc_id % 17 = 0
+    THEN 'http://10.0.' || (doc_id % 250)::VARCHAR || '.7/x'
+    ELSE 'https://' || ['www','cdn','a1.b2'][(doc_id % 3 + 1)::INT] || '.'
+      || source || '.'
+      || ['com','co.uk','org','internal'][(doc_id % 4 + 1)::INT]
+      || '/p/' || doc_id::VARCHAR END AS url FROM documents),
+h AS (SELECT lower(regexp_extract(url,
+    '^[A-Za-z][A-Za-z0-9+.\\-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)) AS host
+  FROM urls),
+t AS (SELECT host, string_split(host, '.') AS l FROM h),
+tpd AS (SELECT host, CASE
+  WHEN regexp_matches(host, '^(([0-9A-Fa-f]+[:])*[0-9A-Fa-f]+|(((0x[0-9A-Fa-f]+)|([0-9]+))\\.)*((0x[0-9A-Fa-f]+)|([0-9]+)))$')
+    THEN host
+  WHEN len(l) >= 3 AND (l[-2] || '.' || l[-1]) IN
+    ('co.uk','ac.uk','gov.uk','org.uk','me.uk','com.au','net.au','org.au',
+     'co.jp','ne.jp','or.jp','ac.jp','co.nz','co.in','co.za','com.br',
+     'com.cn','com.mx','com.sg')
+    THEN l[-3] || '.' || l[-2] || '.' || l[-1]
+  WHEN len(l) >= 2 AND l[-1] IN
+    ('com','org','net','edu','gov','mil','int','info','biz','io','dev',
+     'app','xyz','de','fr','it','nl','eu','us')
+    THEN l[-2] || '.' || l[-1]
+  ELSE host END AS d FROM t),
+hg AS (SELECT 'host' AS scope, host, count(*) AS n_urls FROM h GROUP BY host
+  UNION ALL
+  SELECT 'tpd', d, count(*) FROM tpd GROUP BY d)
+SELECT scope, host,
+  CAST(row_number() OVER (PARTITION BY scope ORDER BY host) - 1 AS BIGINT)
+    AS host_id,
+  n_urls FROM hg
+""",
+        # all four renumber strategies (tagged by kind — one driver entry).
+        # Bounded default rule for lex/gray (operators/permutations.py module
+        # docstring): key = (first-64-successor prefix, degree, XOR of the
+        # portable per-successor hash, id) — the oracle replays the WHOLE
+        # rule, tie-hash included, via the shared md5-based 60-bit hash.
+        "permutations": "SELECT 'degree' AS kind, id, new_id FROM ("
+        + _with(
             EDGES_CTE,
             NODES_CTE,
             "od AS (SELECT n.id, COALESCE(o.dg, 0) AS dg FROM nodes n "
@@ -1745,15 +1817,13 @@ SELECT metric, value FROM (
             "GROUP BY src) o ON o.id = n.id)",
             select="SELECT id, CAST(row_number() OVER "
             "(ORDER BY dg DESC, id ASC) - 1 AS BIGINT) AS new_id FROM od",
-        ),
-        "key_permutation": "SELECT CAST(s_suppkey AS BIGINT) AS id, "
+        )
+        + ") UNION ALL SELECT 'key', id, new_id FROM ("
+        "SELECT CAST(s_suppkey AS BIGINT) AS id, "
         "CAST(row_number() OVER (ORDER BY CAST(s_nationkey AS BIGINT) ASC, "
-        "s_suppkey ASC) - 1 AS BIGINT) AS new_id FROM supplier",
-        # bounded default rule (operators/permutations.py module docstring):
-        # key = (first-64-successor prefix, degree, XOR of the portable
-        # per-successor hash, id) — the oracle replays the WHOLE rule,
-        # tie-hash included, via the shared md5-based 60-bit hash.
-        "lex_permutation": _with(
+        "s_suppkey ASC) - 1 AS BIGINT) AS new_id FROM supplier"
+        ") UNION ALL SELECT 'lex', id, new_id FROM ("
+        + _with(
             EDGES_CTE,
             NODES_CTE,
             f"succ AS (SELECT src AS id, "
@@ -1766,8 +1836,9 @@ SELECT metric, value FROM (
             select="SELECT id, CAST(row_number() OVER "
             "(ORDER BY k ASC, deg ASC, th ASC, id ASC) - 1 AS BIGINT) "
             "AS new_id FROM keyed",
-        ),
-        "gray_permutation": _with(
+        )
+        + ") UNION ALL SELECT 'gray', id, new_id FROM ("
+        + _with(
             EDGES_CTE,
             NODES_CTE,
             f"succ AS (SELECT src AS id, list_sort(list(dst)) AS sl, "
@@ -1786,7 +1857,8 @@ SELECT metric, value FROM (
             select="SELECT id, CAST(row_number() OVER "
             "(ORDER BY k ASC, deg ASC, th ASC, id ASC) - 1 AS BIGINT) "
             "AS new_id FROM gk",
-        ),
+        )
+        + ")",
         "dedup_exact": f"SELECT min(doc_id) AS doc_id, count(*) AS n_docs, "
         f"sha256({NORM}) AS fp FROM documents GROUP BY {NORM}",
         "ngram_jaccard": f"""
@@ -1866,16 +1938,20 @@ cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
 SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
 FROM cand WHERE bit_count(xor(sa, sb)) <= 8
 """,
-        "cosine_topk": _COSINE_TOPK_SQL,
-        # nprobe = n_centroids probes every IVF bucket, so the candidate
-        # set is the full corpus and the result is EXACTLY the brute-force
-        # top-k — the same oracle; partial-probe recall is pytest-asserted.
-        "cosine_topk_ivf": _COSINE_TOPK_SQL,
-        # full LSH-top-k replay: md5-derived ±1 hyperplanes, sign bits over
-        # the floor-quantized int64 projection (bit-identical buckets across
-        # engines), bucket-collision candidates, exact cosine re-score.
-        # 6 tables x 10 planes, dim 64, k=5 — the Spark plan's constants.
-        "cosine_topk_lsh": f"""
+        # three ANN strategies tagged by method (one driver entry):
+        # - exact: brute-force bounded baseline (_COSINE_TOPK_SQL);
+        # - ivf: nprobe = n_centroids probes every IVF bucket, so the
+        #   candidate set is the full corpus and the result is EXACTLY the
+        #   brute-force top-k — the same oracle; partial-probe recall is
+        #   pytest-asserted;
+        # - lsh: full replay — md5-derived ±1 hyperplanes, sign bits over
+        #   the floor-quantized int64 projection (bit-identical buckets
+        #   across engines), bucket-collision candidates, exact cosine
+        #   re-score. 6 tables x 10 planes, dim 64, k=5 — the Spark plan's
+        #   constants.
+        "cosine_topk": f"SELECT 'exact' AS method, * FROM ({_COSINE_TOPK_SQL})"
+        f" UNION ALL SELECT 'ivf', * FROM ({_COSINE_TOPK_SQL})"
+        f" UNION ALL SELECT 'lsh', * FROM (" + f"""
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
 qz AS (SELECT vec_id,
   list_transform(e, x -> CAST(floor(x * 1048576.0) AS BIGINT)) AS q FROM v),
@@ -1903,7 +1979,7 @@ r AS (SELECT query_id, neighbor_id, score,
                      ORDER BY score DESC, neighbor_id ASC) AS rn FROM sc)
 SELECT query_id, neighbor_id, ROUND(score, 6) AS score,
   CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 5
-""",
+""" + ")",
         # full engine_stats replay: HyperBall-over-portable-hash — register
         # index j = ph60 % 32, rank rho = trailing zeros + 1 (the
         # (h & -h) - 1 popcount trick), ball register maxes per radius t,
