@@ -73,6 +73,7 @@ from webgraph_spark.functions.dedup import (
 from webgraph_spark.functions.multimodal import (
     byte_histogram_features,
     decode_media,
+    encode_media,
     synth_media,
 )
 from webgraph_spark.functions.similarity import (
@@ -1390,11 +1391,19 @@ def _q_corpus_pagerank(spark, sf_dir):
 
 
 def _q_media_features(spark, sf_dir):
+    """REAL media decode end-to-end: deterministic payload bytes →
+    encode_media (gray PNG with the per-row filter cycle / WAV PCM / Y4M
+    frames) → decode_media (zlib inflate + all five PNG filter
+    reconstructions, RIFF parse, frame walk). The oracle regenerates the
+    payload bytes from the sha256 hex and computes the decoded statistics
+    directly — so a hash match proves decode(encode(x)) == x through the
+    real containers, not just plumbing."""
     media = synth_media(spark, n=48)
-    decoded = decode_media(media, fake=True)
+    decoded = decode_media(encode_media(media))
     feats = byte_histogram_features(media, bins=16)
     return decoded.join(feats, "media_id").select(
         "media_id", "kind", "n_bytes", "frames",
+        F.round("mean_byte", 6).alias("mean_byte"),
         F.round(F.element_at("features", 1), 6).alias("f0"),
     )
 
@@ -2055,6 +2064,12 @@ UNION ALL SELECT 'bits_per_link',
             "FROM corpus",
         ),
         "corpus_pagerank": _corpus_pagerank_sql(PR_ITERS),
+        # regenerates the 128 payload bytes from the sha256 hex and computes
+        # the DECODED statistics directly: a hash match therefore proves the
+        # Spark side's decode(encode(x)) == x through the real containers
+        # (PNG zlib+filters / WAV / Y4M). Video frames are rolled copies of
+        # the payload, so the all-frames mean equals the payload mean and
+        # n_bytes = 128 * frames.
         "media_features": """
 WITH m AS (SELECT unnest(range(48)) AS media_id),
 h AS (SELECT media_id,
@@ -2063,12 +2078,21 @@ h AS (SELECT media_id,
     AS hex FROM m),
 f AS (SELECT media_id, hex,
   CASE media_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-    ELSE 'video' END AS kind FROM h)
-SELECT media_id, kind, CAST(128 AS BIGINT) AS n_bytes,
-  CAST(CASE WHEN kind = 'video' THEN media_id % 7 + 1 ELSE 1 END
+    ELSE 'video' END AS kind FROM h),
+mb AS (SELECT media_id, list_aggregate(list_transform(range(128), i ->
+  (strpos('0123456789abcdef',
+     substr(hex, CAST(2 * i + 1 AS INTEGER), 1)) - 1) * 16
+  + strpos('0123456789abcdef',
+     substr(hex, CAST(2 * i + 2 AS INTEGER), 1)) - 1), 'sum') AS tot
+  FROM h)
+SELECT f.media_id, kind,
+  CAST(CASE WHEN kind = 'video' THEN 128 * (f.media_id % 7 + 1)
+    ELSE 128 END AS BIGINT) AS n_bytes,
+  CAST(CASE WHEN kind = 'video' THEN f.media_id % 7 + 1 ELSE 1 END
     AS INTEGER) AS frames,
+  ROUND(mb.tot / 128.0, 6) AS mean_byte,
   ROUND(len(list_filter(range(128),
     i -> substr(hex, CAST(2 * i + 1 AS INTEGER), 1) = '0')) / 128.0, 6) AS f0
-FROM f
+FROM f JOIN mb ON mb.media_id = f.media_id
 """,
     }

@@ -1,15 +1,17 @@
 """Multimodal column plumbing: binary payloads + typed metadata.
 
 Training-data pipeline operators (no reference counterpart). Media are
-opaque ``binary`` columns with typed metadata; decode / feature-extract /
-resize / frame-sample run as Arrow-batched ``mapInPandas`` kernels.
+opaque ``binary`` columns with typed metadata; encode / decode /
+feature-extract / frame-sample run as Arrow-batched ``mapInPandas``
+kernels over real container formats — PNG for images, RIFF/WAVE PCM for
+audio, YUV4MPEG2 for video — implemented dependency-free in
+:mod:`webgraph_spark.functions.codecs` (stdlib ``zlib``/``struct`` +
+numpy; this container has no PIL/ffmpeg). ``decode_media`` genuinely
+parses the container: zlib inflate + scanline filter reconstruction for
+PNG, chunked RIFF parse for WAV, frame-marker walk for Y4M.
 
-This container has no image/audio libraries, so the *codec* step is stubbed:
-``decode_media`` raises ``NotImplementedError`` unless ``fake=True``, in
-which case a deterministic fake decoder (parameters derived from the payload
-bytes) exercises the full Spark plumbing — schema, batching, partitioning —
-which IS real and tested. ``byte_histogram_features`` is a real vectorized
-feature extractor (no external deps) usable at scale as-is.
+``byte_histogram_features`` is a real vectorized feature extractor usable
+at scale as-is.
 """
 
 from __future__ import annotations
@@ -20,6 +22,15 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from webgraph_spark.functions.codecs import (
+    decode_png,
+    decode_wav,
+    decode_y4m,
+    encode_png,
+    encode_wav,
+    encode_y4m,
+)
 
 MEDIA_SCHEMA = "media_id long, kind string, payload binary, width int, height int"
 
@@ -60,35 +71,107 @@ def synth_media(
     return base
 
 
-def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
-    """Decode stage. Real codecs are NOT available in this container —
-    ``fake=False`` raises NotImplementedError from the kernel; ``fake=True``
-    derives deterministic 'decoded' properties from the payload so the
-    Arrow plumbing (batch shapes, schema, null handling) is exercised
-    end-to-end."""
+def encode_media(
+    df: DataFrame, width: int = 16, height: int = 8
+) -> DataFrame:
+    """Encode the raw payload bytes into a REAL container per kind:
+
+    - ``image``: the first ``width*height`` payload bytes as a gray PNG
+      (per-row filter cycle, so a round-trip exercises every PNG filter
+      reconstruction path);
+    - ``audio``: payload bytes as mono 8-bit PCM in a RIFF/WAVE file;
+    - ``video``: ``media_id % 7 + 1`` frames of ``(height, width)`` in a
+      YUV4MPEG2 stream, frame *f* being the payload rolled by *f* bytes
+      (distinct frames, same byte population).
+
+    Output replaces ``payload`` with the container bytes; ``width``/
+    ``height`` become the actual encoded dimensions.
+    """
+    npx = width * height
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "media codecs (PIL/ffmpeg) not available in this container; "
-                    "plug a real decoder here or pass fake=True"
-                )
-            payloads = pdf["payload"]
-            n_bytes = payloads.map(len).astype("int64")
-            mean_byte = payloads.map(
-                lambda b: float(np.frombuffer(b, dtype=np.uint8).mean()) if b else 0.0
-            )
-            frames = (pdf["media_id"] % 7 + 1).astype("int32")
+            out_payload = []
+            out_w, out_h = [], []
+            for mid, kind, b in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                arr = np.frombuffer(b or b"", dtype=np.uint8)[:npx]
+                if len(arr) < npx:
+                    arr = np.pad(arr, (0, npx - len(arr)))
+                if kind == "image":
+                    out_payload.append(
+                        encode_png(arr.reshape(height, width))
+                    )
+                    out_w.append(width)
+                    out_h.append(height)
+                elif kind == "audio":
+                    out_payload.append(encode_wav(arr))
+                    out_w.append(len(arr))
+                    out_h.append(1)
+                else:
+                    n_frames = int(mid) % 7 + 1
+                    frames = np.stack(
+                        [
+                            np.roll(arr, f).reshape(height, width)
+                            for f in range(n_frames)
+                        ]
+                    )
+                    out_payload.append(encode_y4m(frames))
+                    out_w.append(width)
+                    out_h.append(height)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "width": pdf["width"],
-                    "height": pdf["height"],
-                    "n_bytes": n_bytes,
-                    "mean_byte": mean_byte,
-                    "frames": frames.where(pdf["kind"] == "video", 1),
+                    "payload": out_payload,
+                    "width": pd.Series(out_w, dtype="int32"),
+                    "height": pd.Series(out_h, dtype="int32"),
+                }
+            )
+
+    return df.mapInPandas(kernel, schema=MEDIA_SCHEMA)
+
+
+def decode_media(df: DataFrame) -> DataFrame:
+    """Decode stage — REAL container parsing per kind (see module
+    docstring): PNG inflate + filter reconstruction, WAV RIFF parse, Y4M
+    frame walk. Emits the *decoded* dimensions, sample-byte count, mean
+    sample value, and frame count; raises on corrupt payloads (CRC or
+    structure errors surface as task failures, the honest behavior for a
+    decode stage)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            w, h, nb, mb, fr = [], [], [], [], []
+            for kind, b in zip(pdf["kind"], pdf["payload"]):
+                if kind == "image":
+                    px = decode_png(bytes(b))
+                    hh, ww = px.shape[:2]
+                    samples = px.reshape(-1)
+                    n_frames = 1
+                elif kind == "audio":
+                    samples, _rate = decode_wav(bytes(b))
+                    ww, hh = len(samples), 1
+                    n_frames = 1
+                else:
+                    frames = decode_y4m(bytes(b))
+                    n_frames, hh, ww = frames.shape
+                    samples = frames.reshape(-1)
+                w.append(ww)
+                h.append(hh)
+                nb.append(len(samples))
+                mb.append(float(samples.mean()) if len(samples) else 0.0)
+                fr.append(n_frames)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "width": pd.Series(w, dtype="int32"),
+                    "height": pd.Series(h, dtype="int32"),
+                    "n_bytes": pd.Series(nb, dtype="int64"),
+                    "mean_byte": mb,
+                    "frames": pd.Series(fr, dtype="int32"),
                 }
             )
 
