@@ -140,6 +140,165 @@ def run_once(cpus: int, multiplier: int, iters: int, sf_dir: str,
     return json.loads(line[4:])
 
 
+# Fixpoint-suite variant (CC / LPA / BFS): same pinned, interleaved,
+# late-confinement protocol as the PageRank runner, applied to the
+# shuffle-hash-pinned fixpoint loops. Differences, deliberate:
+# - the measured quantity is the WHOLE fixpoint at a fixed round cap (both
+#   levels execute the identical deterministic round sequence — CC round
+#   costs shrink as the changed-set drains, so a per-round median would
+#   compare different work at different k);
+# - warm-up = a 2-round run of the same job before pinning (python worker
+#   daemons + JIT + the persisted symmetrized edge layout come up
+#   unconfined, matching the PageRank runner's late-pin rationale).
+_FIXPOINT_RUNNER = r"""
+import os, sys, time, json, subprocess
+sys.path.insert(0, {root!r})
+from webgraph_spark.session import get_spark
+from bench import build_edges
+import pyspark.sql.functions as F
+spark = get_spark(master="local[{cpus}]", shuffle_partitions={cpus},
+                  extra_conf={{"spark.ui.enabled": "false",
+                               "spark.driver.memory": "32g"}})
+spark.sparkContext.setLogLevel("ERROR")
+edges = build_edges(spark, {sf_dir!r}, {multiplier}).persist()
+m = edges.count()
+nodes = (edges.select(F.col("src").alias("id"))
+         .union(edges.select("dst")).distinct().persist())
+nodes.count()
+job = {job!r}
+
+def run_job(rounds):
+    if job == "cc":
+        from webgraph_spark.algo.components import hash_min_components
+        res = hash_min_components(edges, nodes, max_iter=rounds,
+                                  star_fallback_after=None)
+        res.components.unpersist()
+        return res.iterations
+    if job == "lpa":
+        from webgraph_spark.algo.labelprop import label_propagation
+        res = label_propagation(edges, nodes, max_iter=rounds)
+        res.labels.unpersist()
+        return res.iterations
+    if job == "bfs":
+        from webgraph_spark.algo.bfs import bfs_distances
+        # one source per salted copy (the multiplied graph is {multiplier}
+        # disjoint copies): every copy is explored, total frontier work is
+        # proportional to the full graph
+        base_min = 1
+        srcs = spark.range({multiplier}).select(
+            (F.lit(base_min) * {multiplier} + F.col("id")).alias("id"))
+        out = bfs_distances(edges, srcs, max_depth=rounds)
+        out.count()
+        return rounds
+    raise ValueError(job)
+
+run_job(2)  # unconfined warm-up: daemons, JIT, persisted layouts
+
+pin = {pin}
+if pin:
+    def tree(pid):
+        pids = [pid]
+        task_dir = f"/proc/{{pid}}/task"
+        try:
+            for t in os.listdir(task_dir):
+                with open(f"{{task_dir}}/{{t}}/children") as fh:
+                    for c in fh.read().split():
+                        pids += tree(int(c))
+        except OSError:
+            pass
+        return pids
+    for p in tree(os.getpid()):
+        subprocess.run(["taskset", "-apc", "0-{last}", str(p)],
+                       capture_output=True)
+
+def cpu_ticks(cores):
+    tot = st = 0
+    for ln in open("/proc/stat"):
+        f = ln.split()
+        if f and f[0].startswith("cpu") and f[0][3:].isdigit():
+            if int(f[0][3:]) in cores:
+                nums = [int(x) for x in f[1:]]
+                tot += sum(nums)
+                st += nums[7]
+    return tot, st
+
+cores = set(range({cpus} if pin else 32))
+t0, s0 = cpu_ticks(cores)
+w0 = time.monotonic()
+rounds = run_job({iters})
+wall = time.monotonic() - w0
+t1, s1 = cpu_ticks(cores)
+steal = round((s1 - s0) / max(1, t1 - t0), 4)
+print("JSON" + json.dumps({{"m": m, "wall": round(wall, 3),
+                            "rounds": rounds, "steal": steal}}))
+"""
+
+
+def run_fixpoint_once(job: str, cpus: int, multiplier: int, iters: int,
+                      sf_dir: str, pin: bool = False) -> dict:
+    code = _FIXPOINT_RUNNER.format(
+        root=ROOT, cpus=cpus, sf_dir=sf_dir, multiplier=multiplier,
+        iters=iters, pin=pin, last=cpus - 1, job=job,
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        cwd=ROOT, check=True,
+    ).stdout
+    line = [ln for ln in out.splitlines() if ln.startswith("JSON")][-1]
+    return json.loads(line[4:])
+
+
+def run_fixpoint_suite(jobs: list[str], n: int, multiplier: int, iters: int,
+                       reps: int, sf_dir: str, pin: bool) -> None:
+    """Measure each fixpoint job at pinned N and 4N cores (interleaved
+    reps) and merge the results into BENCH_SCALING.json under
+    ``fixpoint_suite`` — evidence that the O(state)-shuffle claim of the
+    shuffle-hash-pinned loops holds beyond the sf0.1 stage-launch floor."""
+    path = os.path.join(ROOT, "BENCH_SCALING.json")
+    with open(path) as f:
+        doc = json.load(f)
+    suite = doc.setdefault("fixpoint_suite", {})
+    for job in jobs:
+        lo_runs, hi_runs, pair_eff = [], [], []
+        for _ in range(reps):
+            lo_runs.append(run_fixpoint_once(job, n, multiplier, iters,
+                                             sf_dir, pin))
+            hi_runs.append(run_fixpoint_once(job, n * 4, multiplier, iters,
+                                             sf_dir, pin))
+            pair_eff.append(round(
+                (lo_runs[-1]["wall"] / hi_runs[-1]["wall"]) / 4.0, 3))
+        lo = min(r["wall"] for r in lo_runs)
+        hi = min(r["wall"] for r in hi_runs)
+        m = lo_runs[0]["m"]
+        rounds = lo_runs[0]["rounds"]
+        suite[job] = {
+            "protocol": "whole fixpoint at a fixed round cap, identical "
+            "deterministic round sequence at both levels; late taskset "
+            "pinning after a 2-round unconfined warm-up; interleaved reps; "
+            "min over reps per level",
+            "pinned": pin,
+            "input_edges": m,
+            "rounds": rounds,
+            "n_cpus": n,
+            "4n_cpus": n * 4,
+            "wall_sec_n": round(lo, 3),
+            "wall_sec_4n": round(hi, 3),
+            "rep_walls_n": [r["wall"] for r in lo_runs],
+            "rep_walls_4n": [r["wall"] for r in hi_runs],
+            "steal_frac_n": [r["steal"] for r in lo_runs],
+            "steal_frac_4n": [r["steal"] for r in hi_runs],
+            "per_pair_efficiency": pair_eff,
+            "edges_per_sec_per_iter_n": round(m * rounds / lo, 1),
+            "edges_per_sec_per_iter_4n": round(m * rounds / hi, 1),
+            "sec_per_iter_n": round(lo / max(1, rounds), 3),
+            "sec_per_iter_4n": round(hi / max(1, rounds), 3),
+            "scaling_efficiency": round((lo / hi) / 4.0, 3),
+        }
+        with open(path, "w") as f:
+            json.dump(doc, f, indent=2)
+        print(json.dumps({job: suite[job]}))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=2)
@@ -152,7 +311,21 @@ def main() -> None:
                     help="confine each level's process tree to exactly its "
                     "core count (JVM helper threads included) — the honest "
                     "N vs 4N executor proxy; see module docstring")
+    ap.add_argument("--jobs", default="pagerank",
+                    help="comma list: pagerank and/or fixpoint jobs "
+                    "(cc,lpa,bfs). Fixpoint jobs merge into "
+                    "BENCH_SCALING.json under fixpoint_suite.")
+    ap.add_argument("--fixpoint-iters", type=int, default=8)
     args = ap.parse_args()
+
+    jobs = [j.strip() for j in args.jobs.split(",") if j.strip()]
+    fixpoint_jobs = [j for j in jobs if j in ("cc", "lpa", "bfs")]
+    if fixpoint_jobs:
+        run_fixpoint_suite(fixpoint_jobs, args.n, args.multiplier,
+                           args.fixpoint_iters, args.reps, args.sf_dir,
+                           args.pin)
+    if "pagerank" not in jobs:
+        return
 
     # one fixed CSR layout for BOTH levels (same physical job, only the
     # parallelism differs); ~1.8M edges/block keeps kernel tasks fine-
@@ -227,7 +400,16 @@ def main() -> None:
             "and the ratio under-measures true scaling; prefer --pin"
         ),
     }
-    with open(os.path.join(ROOT, "BENCH_SCALING.json"), "w") as f:
+    # preserve any fixpoint_suite entries from earlier runs
+    path = os.path.join(ROOT, "BENCH_SCALING.json")
+    try:
+        with open(path) as f:
+            prev = json.load(f)
+        if "fixpoint_suite" in prev:
+            result["fixpoint_suite"] = prev["fixpoint_suite"]
+    except (OSError, ValueError):
+        pass
+    with open(path, "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result))
 
