@@ -23,6 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from webgraph_spark.plans.partitioning import widen_small_input
 from webgraph_spark.functions.codecs import (
     decode_png,
     decode_wav,
@@ -130,7 +131,7 @@ def encode_media(
                 }
             )
 
-    return df.mapInPandas(kernel, schema=MEDIA_SCHEMA)
+    return widen_small_input(df).mapInPandas(kernel, schema=MEDIA_SCHEMA)
 
 
 def decode_media(df: DataFrame) -> DataFrame:
@@ -175,7 +176,7 @@ def decode_media(df: DataFrame) -> DataFrame:
                 }
             )
 
-    return df.mapInPandas(kernel, schema=DECODED_SCHEMA)
+    return widen_small_input(df).mapInPandas(kernel, schema=DECODED_SCHEMA)
 
 
 def byte_histogram_features(df: DataFrame, bins: int = 16) -> DataFrame:
@@ -195,7 +196,7 @@ def byte_histogram_features(df: DataFrame, bins: int = 16) -> DataFrame:
                 feats.append((h / tot).tolist() if tot else [0.0] * bins)
             yield pd.DataFrame({"media_id": pdf["media_id"], "features": feats})
 
-    return df.mapInPandas(kernel, schema=FEATURE_SCHEMA)
+    return widen_small_input(df).mapInPandas(kernel, schema=FEATURE_SCHEMA)
 
 
 def frame_sample(df: DataFrame, every_n_bytes: int = 32) -> DataFrame:
@@ -212,4 +213,6 @@ def frame_sample(df: DataFrame, every_n_bytes: int = 32) -> DataFrame:
             ]
             yield pd.DataFrame({"media_id": pdf["media_id"], "samples": samples})
 
-    return df.mapInPandas(kernel, schema="media_id long, samples array<binary>")
+    return widen_small_input(df).mapInPandas(
+        kernel, schema="media_id long, samples array<binary>"
+    )
