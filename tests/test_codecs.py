@@ -105,3 +105,36 @@ def test_media_encode_decode_spark(spark):
         else:
             assert r["frames"] == mid % 7 + 1
             assert r["n_bytes"] == 128 * r["frames"]
+
+
+# --- property tests (no Spark) ---------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    h=st.integers(1, 12),
+    w=st.integers(1, 12),
+    seed=st.integers(0, 2**31 - 1),
+    mode=st.sampled_from(["cycle", "none"]),
+)
+def test_png_gray_roundtrip_property(h, w, seed, mode):
+    px = np.random.RandomState(seed).randint(0, 256, (h, w), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(px, filter_mode=mode)), px)
+
+
+@settings(max_examples=25, deadline=None)
+@given(h=st.integers(1, 8), w=st.integers(1, 8), seed=st.integers(0, 2**31 - 1))
+def test_png_rgb_roundtrip_property(h, w, seed):
+    px = np.random.RandomState(seed).randint(0, 256, (h, w, 3), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(px)), px)
+
+
+@settings(max_examples=25, deadline=None)
+@given(n=st.integers(0, 512), seed=st.integers(0, 2**31 - 1))
+def test_wav_roundtrip_property(n, seed):
+    samples = np.random.RandomState(seed).randint(0, 256, n, dtype=np.uint8)
+    out, _ = decode_wav(encode_wav(samples))
+    assert np.array_equal(out, samples)
