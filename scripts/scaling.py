@@ -240,11 +240,17 @@ def run_fixpoint_once(job: str, cpus: int, multiplier: int, iters: int,
         root=ROOT, cpus=cpus, sf_dir=sf_dir, multiplier=multiplier,
         iters=iters, pin=pin, last=cpus - 1, job=job,
     )
-    out = subprocess.run(
+    proc = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True,
-        cwd=ROOT, check=True,
-    ).stdout
-    line = [ln for ln in out.splitlines() if ln.startswith("JSON")][-1]
+        cwd=ROOT,
+    )
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"fixpoint runner {job}@local[{cpus}] failed "
+            f"(exit {proc.returncode}); stderr tail:\n"
+            + "\n".join(proc.stderr.splitlines()[-40:])
+        )
+    line = [ln for ln in proc.stdout.splitlines() if ln.startswith("JSON")][-1]
     return json.loads(line[4:])
 
 
