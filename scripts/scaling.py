@@ -245,9 +245,12 @@ def run_fixpoint_once(job: str, cpus: int, multiplier: int, iters: int,
         cwd=ROOT,
     )
     if proc.returncode != 0:
+        errpath = f"/tmp/fixpoint_{job}_{cpus}.stderr"
+        with open(errpath, "w") as fh:
+            fh.write(proc.stderr)
         raise RuntimeError(
             f"fixpoint runner {job}@local[{cpus}] failed "
-            f"(exit {proc.returncode}); stderr tail:\n"
+            f"(exit {proc.returncode}); full stderr at {errpath}; tail:\n"
             + "\n".join(proc.stderr.splitlines()[-40:])
         )
     line = [ln for ln in proc.stdout.splitlines() if ln.startswith("JSON")][-1]
