@@ -149,14 +149,23 @@ def run_once(cpus: int, multiplier: int, iters: int, sf_dir: str,
 #   compare different work at different k);
 # - warm-up = a 2-round run of the same job before pinning (python worker
 #   daemons + JIT + the persisted symmetrized edge layout come up
-#   unconfined, matching the PageRank runner's late-pin rationale).
+#   unconfined, matching the PageRank runner's late-pin rationale);
+# - shuffle_partitions is FIXED at the 4N level's count for BOTH levels —
+#   the exact analogue of the PageRank runner's shared CSR block layout.
+#   An earlier draft used partitions = cpus per level, which made the two
+#   levels run DIFFERENT physical plans: the 2-core level pushed the same
+#   shuffle bytes through 2 giant partitions (4x the per-partition hash
+#   state, extra spill) while the 8-core level used 8, and the spill
+#   asymmetry produced a non-credible superlinear LPA "efficiency" of
+#   1.018. With one layout the only variable between levels is task
+#   concurrency, which is the quantity the north rule gates.
 _FIXPOINT_RUNNER = r"""
 import os, sys, time, json, subprocess
 sys.path.insert(0, {root!r})
 from webgraph_spark.session import get_spark
 from bench import build_edges
 import pyspark.sql.functions as F
-spark = get_spark(master="local[{cpus}]", shuffle_partitions={cpus},
+spark = get_spark(master="local[{cpus}]", shuffle_partitions={parts},
                   extra_conf={{"spark.ui.enabled": "false",
                                "spark.driver.memory": "32g"}})
 spark.sparkContext.setLogLevel("ERROR")
@@ -235,10 +244,12 @@ print("JSON" + json.dumps({{"m": m, "wall": round(wall, 3),
 
 
 def run_fixpoint_once(job: str, cpus: int, multiplier: int, iters: int,
-                      sf_dir: str, pin: bool = False) -> dict:
+                      sf_dir: str, pin: bool = False,
+                      parts: int | None = None) -> dict:
     code = _FIXPOINT_RUNNER.format(
         root=ROOT, cpus=cpus, sf_dir=sf_dir, multiplier=multiplier,
         iters=iters, pin=pin, last=cpus - 1, job=job,
+        parts=parts or cpus,
     )
     proc = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True,
@@ -267,13 +278,14 @@ def run_fixpoint_suite(jobs: list[str], n: int, multiplier: int, iters: int,
     with open(path) as f:
         doc = json.load(f)
     suite = doc.setdefault("fixpoint_suite", {})
+    parts = n * 4  # one shuffle layout for both levels (see runner comment)
     for job in jobs:
         lo_runs, hi_runs, pair_eff = [], [], []
         for _ in range(reps):
             lo_runs.append(run_fixpoint_once(job, n, multiplier, iters,
-                                             sf_dir, pin))
+                                             sf_dir, pin, parts))
             hi_runs.append(run_fixpoint_once(job, n * 4, multiplier, iters,
-                                             sf_dir, pin))
+                                             sf_dir, pin, parts))
             pair_eff.append(round(
                 (lo_runs[-1]["wall"] / hi_runs[-1]["wall"]) / 4.0, 3))
         lo = min(r["wall"] for r in lo_runs)
@@ -282,9 +294,11 @@ def run_fixpoint_suite(jobs: list[str], n: int, multiplier: int, iters: int,
         rounds = lo_runs[0]["rounds"]
         suite[job] = {
             "protocol": "whole fixpoint at a fixed round cap, identical "
-            "deterministic round sequence at both levels; late taskset "
+            "deterministic round sequence AND one fixed shuffle-partition "
+            "layout (the 4N level's count) at both levels; late taskset "
             "pinning after a 2-round unconfined warm-up; interleaved reps; "
             "min over reps per level",
+            "shuffle_partitions_both_levels": parts,
             "pinned": pin,
             "input_edges": m,
             "rounds": rounds,
