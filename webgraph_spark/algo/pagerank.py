@@ -311,8 +311,14 @@ def pagerank_edges(
     result = PageRankResult(ranks=ranks, iterations=0)
     total = n_iter if n_iter is not None else max_iter
     for it in range(total):
+        # SHUFFLE_HASH on the rank side: the checkpointed rank state has
+        # unknown stats while the persisted edeg side is small enough at
+        # bench scale that AQE otherwise broadcast-builds the whole O(m)
+        # edge table every iteration (verified via executedPlan) — the same
+        # trap labelprop/CC hit. The hint keeps edeg's cached hash layout
+        # (zero edge exchange); only the O(n) rank table shuffles.
         contrib = (
-            edeg.join(ranks, edeg["src"] == ranks["id"])
+            edeg.join(ranks.hint("shuffle_hash"), edeg["src"] == ranks["id"])
             .select(F.col("dst"), (F.col("rank") / F.col("deg")).alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("contrib"))
@@ -487,8 +493,14 @@ def pagerank_weighted(
         .na.fill({"__has_out": 0.0})
         .persist()
     )
-    ew = edges.select("src", "dst", w.alias("__w")).join(
-        totals.withColumnRenamed("id", "src"), "src"
+    from webgraph_spark.plans.partitioning import partition_for_join
+
+    # big side cached hash-partitioned on the join key (see pagerank_edges)
+    ew = partition_for_join(
+        edges.select("src", "dst", w.alias("__w")).join(
+            totals.withColumnRenamed("id", "src"), "src"
+        ),
+        "src",
     ).persist()
     ew.count()
     ranks = nodes.withColumn("rank", F.lit(1.0 / n)).transform(checkpoint_state)
@@ -496,8 +508,10 @@ def pagerank_weighted(
     result = PageRankResult(ranks=ranks, iterations=0)
     total = n_iter if n_iter is not None else max_iter
     for it in range(total):
+        # same shuffle_hash rationale as pagerank_edges: never rebroadcast
+        # or re-exchange the O(m) weighted edge table per iteration
         contrib = (
-            ew.join(ranks, ew["src"] == ranks["id"])
+            ew.join(ranks.hint("shuffle_hash"), ew["src"] == ranks["id"])
             .select(
                 F.col("dst"),
                 (F.col("rank") * F.col("__w") / F.col("wtot")).alias("c"),
