@@ -5,12 +5,16 @@ semantics are the standard peeling fixpoint (Seidman 1983): repeatedly drop
 nodes of degree < k in the remaining subgraph. Deterministic given (graph, k).
 
 Scale shape: the symmetrized edge set is cached hash-partitioned by src once
-(one shuffle); each peel round re-derives the surviving degree table with a
-semi-join + one aggregate, and the dropped-count rides the eager state
-checkpoint as an observed metric — one Spark action per round. Rounds are
-bounded by the peeling depth (<= n, in practice tiny: each round removes
-every node below k simultaneously, the parallel variant of the sequential
-peel). State per round is the surviving node set — O(n), never O(m).
+(one shuffle); degrees are maintained INCREMENTALLY — each peel round gathers
+only the arcs incident to the nodes dropped that round (shuffle-hash join
+with the O(dropped) side as build, so the cached edge layout streams with no
+exchange) and subtracts their counts from the surviving degree table. Per-
+round cost is O(edges incident to the dropped frontier), not O(m) — the
+distributed analogue of the sequential peel's "decrement my neighbours"
+step — and the survivor count rides the eager state checkpoint as an
+observed metric: one Spark action per round. Rounds are bounded by the
+peeling depth (each round removes every node below k simultaneously). State
+per round is the surviving (id, deg) table — O(n), never O(m).
 """
 
 from __future__ import annotations
@@ -41,42 +45,55 @@ def k_core(edges: DataFrame, k: int, max_iter: int = 1000) -> KCoreResult:
         .persist()
     )
     sym.count()
-    alive = (
-        sym.select(F.col("src").alias("id")).distinct().transform(checkpoint_state)
+    obs0 = Observation()
+    cur = (
+        sym.groupBy(F.col("src").alias("id"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .observe(obs0, F.count(F.lit(1)).alias("n"))
+        .transform(checkpoint_state)
     )
-    result = KCoreResult(nodes=alive, iterations=0)
+    n_alive = int(obs0.get["n"] or 0)
+    result = KCoreResult(nodes=cur.select("id"), iterations=0)
     for it in range(max_iter):
         t0 = time.monotonic()
-        # degree of each survivor counting only edges whose BOTH endpoints
-        # survive; sym is cached partitioned by src so the groupBy reuses it
-        deg = (
-            sym.join(alive.withColumnRenamed("id", "dst"), "dst", "leftsemi")
-            .join(alive.withColumnRenamed("id", "src"), "src", "leftsemi")
-            .groupBy(F.col("src").alias("id"))
-            .agg(F.count(F.lit(1)).alias("deg"))
+        # invariant: cur.deg = degree within the surviving subgraph. Nodes
+        # below k leave this round; each of their arcs decrements the
+        # surviving endpoint's degree (arcs between two dropped nodes land
+        # on filtered-out ids and vanish). SHUFFLE_HASH with the O(dropped)
+        # frontier as build side: the cached src-partitioned edge set
+        # streams with no exchange, and AQE can't broadcast the edge side
+        # against the unknown-stats checkpointed state (labelprop.py trap).
+        dropped_ids = cur.filter(F.col("deg") < k).select(
+            F.col("id").alias("src")
+        )
+        dec = (
+            sym.join(dropped_ids.hint("shuffle_hash"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.count(F.lit(1)).alias("__dec"))
         )
         obs = Observation()
-        survivors = (
-            alive.join(deg, "id", "left")
+        nxt = (
+            cur.filter(F.col("deg") >= k)
+            .join(dec, "id", "left")
             .select(
                 "id",
-                (F.coalesce("deg", F.lit(0)) >= k).cast("int").alias("__keep"),
+                (F.col("deg") - F.coalesce("__dec", F.lit(0))).alias("deg"),
             )
-            .observe(obs, F.sum(1 - F.col("__keep")).alias("dropped"))
-            .filter(F.col("__keep") == 1)
-            .select("id")
+            .observe(obs, F.count(F.lit(1)).alias("n"))
             .transform(checkpoint_state)
         )
-        dropped = int(obs.get["dropped"] or 0)
+        new_alive = int(obs.get["n"] or 0)
+        dropped = n_alive - new_alive
         wall = time.monotonic() - t0
-        alive = survivors
+        cur = nxt
+        n_alive = new_alive
         result.dropped_per_iter.append(dropped)
         result.iter_seconds.append(wall)
         result.iterations = it + 1
         if dropped == 0:
             break
     sym.unpersist()
-    result.nodes = alive
+    result.nodes = cur.select("id")
     return result
 
 
