@@ -58,6 +58,20 @@ def test_k_core_matches_sequential_peel(spark, k):
     assert got == _kcore_ref(ARCS, k)
 
 
+@pytest.mark.parametrize("seed,k", [(0, 2), (1, 3), (2, 4)])
+def test_k_core_random_graph_matches_peel(spark, seed, k):
+    # random multigraph with self-loops, duplicate arcs, and both
+    # orientations — exercises the dedup/symmetrize front and the
+    # incremental decrement bookkeeping over multi-round peels
+    rng = np.random.default_rng(seed)
+    arcs = [
+        (int(s), int(d))
+        for s, d in rng.integers(0, 40, size=(300, 2))
+    ]
+    got = {r["id"] for r in k_core(edge_df(spark, arcs), k).nodes.collect()}
+    assert got == _kcore_ref(arcs, k)
+
+
 def test_k_core_edges_induced(spark):
     e = k_core_edges(edge_df(spark, ARCS), 3).collect()
     got = {(r["src"], r["dst"]) for r in e}
