@@ -280,6 +280,9 @@ def run_fixpoint_suite(jobs: list[str], n: int, multiplier: int, iters: int,
     suite = doc.setdefault("fixpoint_suite", {})
     parts = n * 4  # one shuffle layout for both levels (see runner comment)
     for job in jobs:
+        # trend points at non-default sizes get their own key so a larger
+        # re-measurement extends the record instead of replacing the m64 row
+        key = job if multiplier == 64 else f"{job}_m{multiplier}"
         lo_runs, hi_runs, pair_eff = [], [], []
         for _ in range(reps):
             lo_runs.append(run_fixpoint_once(job, n, multiplier, iters,
@@ -292,7 +295,7 @@ def run_fixpoint_suite(jobs: list[str], n: int, multiplier: int, iters: int,
         hi = min(r["wall"] for r in hi_runs)
         m = lo_runs[0]["m"]
         rounds = lo_runs[0]["rounds"]
-        suite[job] = {
+        suite[key] = {
             "protocol": "whole fixpoint at a fixed round cap, identical "
             "deterministic round sequence AND one fixed shuffle-partition "
             "layout (the 4N level's count) at both levels; late taskset "
@@ -319,7 +322,7 @@ def run_fixpoint_suite(jobs: list[str], n: int, multiplier: int, iters: int,
         }
         with open(path, "w") as f:
             json.dump(doc, f, indent=2)
-        print(json.dumps({job: suite[job]}))
+        print(json.dumps({key: suite[key]}))
 
 
 def main() -> None:

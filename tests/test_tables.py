@@ -64,3 +64,38 @@ def test_salted_sum_matches_plain(spark):
     assert set(plain) == set(salted)
     for k in plain:
         assert abs(plain[k] - salted[k]) < 1e-6
+
+
+def test_widen_small_input_many_tiny_files(spark, tmp_path):
+    """>= p tiny files still scan as FEW splits (openCostInBytes packing), so
+    the bytes-based fast path must not mistake file count for parallelism."""
+    from webgraph_spark.plans.partitioning import widen_small_input
+
+    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    path = str(tmp_path / "tiny")
+    # p+4 one-row files — Spark packs these into far fewer than p splits
+    spark.range(p + 4).repartition(p + 4).write.parquet(path)
+    df = spark.read.parquet(path)
+    assert len(df.inputFiles()) >= p
+    widened = widen_small_input(df)
+    assert widened.rdd.getNumPartitions() >= p
+    assert widened.count() == p + 4
+
+
+def test_widen_small_input_large_scan_passthrough(spark, tmp_path):
+    """A scan whose bytes guarantee >= p splits passes through untouched
+    (no repartition node on the 100 TB path)."""
+    from webgraph_spark.plans.partitioning import widen_small_input
+
+    path = str(tmp_path / "big")
+    spark.range(200_000).withColumn("pad", F.lpad(F.lit(""), 64, "x")) \
+        .write.parquet(path)
+    df = spark.read.parquet(path)
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "16k")
+    try:
+        widened = widen_small_input(df)
+        # pass-through: same plan object semantics — no Repartition node
+        assert "Repartition" not in widened._jdf.queryExecution().logical().toString()
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)

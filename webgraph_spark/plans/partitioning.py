@@ -13,11 +13,25 @@ Salting: a two-stage reduce for power-law keys — partial aggregate on
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
+
+_SIZE_SUFFIX = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+
+
+def _size_conf(spark, key: str, default: int) -> int:
+    """Parse a Spark byte-size conf value ("128m", "134217728", "1g")."""
+    raw = str(spark.conf.get(key, str(default))).strip().lower()
+    if raw.endswith("b"):
+        raw = raw[:-1]
+    if raw and raw[-1] in _SIZE_SUFFIX:
+        return int(float(raw[:-1]) * _SIZE_SUFFIX[raw[-1]])
+    return int(raw)
 
 
 def degree_balanced_cuts(
@@ -127,11 +141,22 @@ def widen_small_input(df: DataFrame, num_partitions: int | None = None) -> DataF
         return df
     spark = df.sparkSession
     p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    # fast path: a scan backed by >= p files has >= p splits — answered
-    # from the analyzed logical plan, no RDD conversion / physical planning
+    # fast path answered from the analyzed logical plan (no RDD conversion /
+    # physical planning): if the scan's total bytes are >= p * the max split
+    # size, FileSourceScan must produce >= p splits. File COUNT alone is not
+    # evidence — Spark packs small files into few splits (maxPartitionBytes /
+    # openCostInBytes), so >= p tiny files can still scan as ONE split.
     try:
-        if len(df.inputFiles()) >= p:
-            return df
+        files = df.inputFiles()
+        if files:
+            max_split = _size_conf(spark, "spark.sql.files.maxPartitionBytes",
+                                   128 * 1024 * 1024)
+            total = 0
+            for uri in files:
+                path = uri[len("file:"):] if uri.startswith("file:") else uri
+                total += os.path.getsize(path)
+                if total >= p * max_split:
+                    return df
     except Exception:
         pass
     if df.rdd.getNumPartitions() >= p:
