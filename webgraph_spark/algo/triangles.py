@@ -60,9 +60,12 @@ def triangle_vertices(edges: DataFrame) -> DataFrame:
     branch tripled the triangle wall time (measured 2-6x at sf0.1; exchange
     reuse does not reliably cover the three consumers). The cache is the
     oriented arc list (~m rows), evicted LRU like the other graph-side
-    caches.
+    caches, and is materialized EAGERLY: the three consumer stages of the
+    downstream action launch concurrently and would otherwise race to
+    populate it, each recomputing the symmetrize+orient subtree.
     """
     o = _oriented(edges).persist()
+    o.count()
     e1 = o.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     e2 = o.select(F.col("src").alias("b"), F.col("dst").alias("c"))
     wedges = e1.join(e2, "b").select("a", "b", "c")
@@ -82,15 +85,23 @@ def triangle_count_adjacency(edges: DataFrame) -> int:
     no Python). Wins when wedge count ≫ Σ(deg(u)+deg(v)) per edge, i.e.
     hub-heavy graphs where the wedge join explodes.
 
-    ``o`` feeds three consumers (adjacency build + both join sides), so it
-    is persisted for the single action and dropped after (same rationale as
-    :func:`triangle_vertices`; measured ~2x at sf0.1).
+    ``o`` feeds three consumers (adjacency build + both join sides) and
+    ``adj`` two (both intersect sides), so BOTH are persisted AND eagerly
+    materialized before the counting action: inside a single action the
+    consumer stages launch concurrently and race to populate the cache,
+    each recomputing the full symmetrize+orient subtree (measured at sf0.1
+    on 24 cores: 12.4 s single-action vs 1.9 + 0.5 + 0.9 s materialized —
+    the cache only dedupes work that finished before the next reader).
     """
     o = _oriented(edges).persist()
+    adj = (
+        o.groupBy("src")
+        .agg(F.array_sort(F.collect_list("dst")).alias("succ"))
+        .persist()
+    )
     try:
-        adj = o.groupBy("src").agg(
-            F.array_sort(F.collect_list("dst")).alias("succ")
-        )
+        o.count()
+        adj.count()
         au = adj.select(F.col("src").alias("u"), F.col("succ").alias("su"))
         av = adj.select(F.col("src").alias("v"), F.col("succ").alias("sv"))
         per_edge = (
@@ -103,6 +114,7 @@ def triangle_count_adjacency(edges: DataFrame) -> int:
         return int(row["total"] or 0)
     finally:
         o.unpersist()
+        adj.unpersist()
 
 
 def local_clustering_coefficient(edges: DataFrame) -> DataFrame:
