@@ -133,6 +133,10 @@ def ngram_jaccard_pairs(
         .select("id", shingles_from_tokens("__toks", n).alias("sh"))
         .persist()
     )
+    # eager: the returned plan scans sh from up to 4 concurrent stages
+    # (inverted-index sides + verify sides); unmaterialized, they race to
+    # populate the cache and each re-runs the shingle subtree
+    sh.count()
     sizes = sh.select("id", F.size("sh").alias("sz"))
     inv = sh.select("id", F.explode("sh").alias("g"))
     if max_shingle_freq is not None:
@@ -367,6 +371,9 @@ def minhash_lsh_pairs(
         )
         .persist()
     )
+    # eager: banding sides + verify sides scan sigs from concurrent stages
+    # of one action — materialize once or the signature UDF runs 2-4x
+    sigs.count()
     if hash_fn == "portable":
         band_key = lambda b: F.slice("sig", b * r + 1, r)  # noqa: E731
     else:
@@ -532,6 +539,8 @@ def simhash_pairs(
         F.col(id_col).alias("id"),
         simhash_col(text_col, seed, hash_fn).alias("sig"),
     ).persist()
+    # eager: both self-join sides scan sigs concurrently — materialize once
+    sigs.count()
     mask = (1 << width) - 1
     chunk_arr = F.array(
         *[
