@@ -80,22 +80,39 @@ def hash_min_components(
         # builds the persisted EDGE side — re-broadcasting the graph every
         # round. With it the O(changed) sender set shuffles and the cached
         # pre-partitioned sym streams with no exchange.
-        nbr_min = (
-            sym.join(
-                comps.filter(F.col("__ch") == 1).hint("shuffle_hash"),
-                sym["src"] == comps["id"],
-            )
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.min("comp").alias("__nm"))
+        # Self-row fusion: instead of aggregating neighbour mins by dst and
+        # LEFT-JOINING the result back onto the state (a second O(n)
+        # exchange of comps by id plus a join build per round), the state
+        # rows ride INTO the same aggregation as tagged "self" rows
+        # (__s=1). One hash aggregate then yields, per node, both the
+        # neighbour min (min over __s=0 rows) and the carried old label
+        # (min over __s=1 rows — exactly one such row per node), so the
+        # update + changed flag are a pure projection. Per round:
+        # 2 exchanges (senders by src, partial-agg rows by id) and 1 join,
+        # versus 3 exchanges and 2 joins for the join-back formulation.
+        gather = sym.join(
+            comps.filter(F.col("__ch") == 1).hint("shuffle_hash"),
+            sym["src"] == comps["id"],
+        ).select(
+            F.col("dst").alias("id"),
+            F.col("comp").alias("__v"),
+            F.lit(0).alias("__s"),
+        )
+        self_rows = comps.select(
+            "id", F.col("comp").alias("__v"), F.lit(1).alias("__s")
         )
         obs = Observation()
         updated = (
-            comps.select("id", "comp")
-            .join(nbr_min, "id", "left")
+            gather.unionByName(self_rows)
+            .groupBy("id")
+            .agg(
+                F.min(F.when(F.col("__s") == 0, F.col("__v"))).alias("__nm"),
+                F.min(F.when(F.col("__s") == 1, F.col("__v"))).alias("__old"),
+            )
             .select(
                 "id",
-                F.least("comp", "__nm").alias("comp"),
-                (F.col("__nm") < F.col("comp")).cast("int").alias("__ch"),
+                F.least("__old", "__nm").alias("comp"),
+                (F.col("__nm") < F.col("__old")).cast("int").alias("__ch"),
             )
             .observe(obs, F.sum("__ch").alias("c"))
             .transform(checkpoint_state)

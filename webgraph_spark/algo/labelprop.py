@@ -99,30 +99,52 @@ def label_propagation(
         # per-partition hash table; the persisted edge side streams with NO
         # exchange. Without the hint, AQE broadcast-builds the EDGE side —
         # re-collecting and re-broadcasting the whole graph every iteration.
-        winner = (
-            vote_edges.join(
-                labels.hint("shuffle_hash"), F.col("src") == labels["id"]
-            )
-            .groupBy("dst", "label")
-            .agg(F.count(F.lit(1)).alias("__c"))
-            .groupBy(F.col("dst").alias("id"))
+        # Self-row fusion: the old-label back-join (labels ⋈ winner by id —
+        # an O(n) exchange of labels plus a join build per round) is folded
+        # into the vote aggregation. Each node's state row enters the
+        # (id, label) count as a tagged self row that contributes ZERO votes
+        # (count counts only __s=0 rows) but marks which label is the
+        # node's current one; the second aggregate then produces the vote
+        # winner (max over labels with at least one real vote) AND the
+        # carried old label in one pass, making the update + changed flag a
+        # projection. Nodes with no (recomputed) votes — isolated nodes, or
+        # unaffected dsts under the restriction — have only their self row
+        # and keep their label via the coalesce. Per round: 3 exchanges
+        # (labels by src, partials by (id,label), partials by id) and 1
+        # join, versus 4 and 2 for the join-back formulation.
+        gather = vote_edges.join(
+            labels.hint("shuffle_hash"), F.col("src") == labels["id"]
+        ).select(F.col("dst").alias("id"), "label", F.lit(0).alias("__s"))
+        self_rows = labels.select("id", "label", F.lit(1).alias("__s"))
+        counted = (
+            gather.unionByName(self_rows)
+            .groupBy("id", "label")
             .agg(
-                F.max(
-                    F.struct(F.col("__c"), (-F.col("label")).alias("__n"))
-                ).alias("__m")
+                F.count(F.when(F.col("__s") == 0, 1)).alias("__c"),
+                F.max("__s").alias("__self"),
             )
-            .select("id", (-F.col("__m.__n")).alias("new_label"))
         )
-        # changed flag computed in the same join/select that applies the
-        # update; the changed-count rides on the eager checkpoint job as an
-        # observed metric — ONE action per round.
+        # changed flag computed in the same aggregate/select that applies
+        # the update; the changed-count rides on the eager checkpoint job as
+        # an observed metric — ONE action per round.
         obs = Observation()
         updated = (
-            labels.join(winner, "id", "left")
+            counted.groupBy("id")
+            .agg(
+                F.max(
+                    F.when(
+                        F.col("__c") > 0,
+                        F.struct(F.col("__c"), (-F.col("label")).alias("__n")),
+                    )
+                ).alias("__m"),
+                F.max(F.when(F.col("__self") == 1, F.col("label"))).alias(
+                    "__old"
+                ),
+            )
             .select(
                 "id",
-                F.coalesce("new_label", "label").alias("label"),
-                (F.coalesce("new_label", "label") != F.col("label"))
+                F.coalesce(-F.col("__m.__n"), F.col("__old")).alias("label"),
+                (F.coalesce(-F.col("__m.__n"), F.col("__old")) != F.col("__old"))
                 .cast("int")
                 .alias("__ch"),
             )

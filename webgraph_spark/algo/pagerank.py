@@ -317,31 +317,49 @@ def pagerank_edges(
         # edge table every iteration (verified via executedPlan) — the same
         # trap labelprop/CC hit. The hint keeps edeg's cached hash layout
         # (zero edge exchange); only the O(n) rank table shuffles.
-        contrib = (
-            edeg.join(ranks.hint("shuffle_hash"), edeg["src"] == ranks["id"])
-            .select(F.col("dst"), (F.col("rank") / F.col("deg")).alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("contrib"))
+        # Self-row fusion: the contrib-vs-ranks back-join (an O(n) exchange
+        # of ranks by id plus a join build per iteration) is folded into the
+        # contribution aggregation — each node's state row rides in as a
+        # tagged self row contributing 0.0 to the sum while carrying the old
+        # rank and the __has_out flag through the same hash aggregate. The
+        # rank update + L1 delta are then a pure projection. Per iteration:
+        # 2 exchanges (ranks by src for the gather, partials by id) and 1
+        # join, versus 3 exchanges and 2 joins for the join-back form.
+        gather = edeg.join(
+            ranks.hint("shuffle_hash"), edeg["src"] == ranks["id"]
+        ).select(
+            F.col("dst").alias("id"),
+            (F.col("rank") / F.col("deg")).alias("__v"),
+            F.lit(0).alias("__s"),
+            F.lit(0.0).alias("__ho"),
+        )
+        self_rows = ranks.select(
+            "id",
+            F.col("rank").alias("__v"),
+            F.lit(1).alias("__s"),
+            F.col("__has_out").alias("__ho"),
         )
         # dangling mass of iteration t = 1 - non-dangling rank sum measured
         # on iteration t-1's OUTPUT (observed metric) — no extra scan job
         dangling = 1.0 - float(non_dangling)
         base = (1.0 - alpha) / n + alpha * dangling / n
+        new_rank = F.lit(base) + F.lit(alpha) * F.col("__contrib")
         obs = Observation()
         updated = (
-            ranks.join(contrib.withColumnRenamed("dst", "id"), "id", "left")
+            gather.unionByName(self_rows)
+            .groupBy("id")
+            .agg(
+                F.sum(
+                    F.when(F.col("__s") == 0, F.col("__v")).otherwise(0.0)
+                ).alias("__contrib"),
+                F.max(F.when(F.col("__s") == 1, F.col("__v"))).alias("__oldr"),
+                F.max("__ho").alias("__has_out"),
+            )
             .select(
                 "id",
                 "__has_out",
-                (
-                    F.lit(base)
-                    + F.lit(alpha) * F.coalesce(F.col("contrib"), F.lit(0.0))
-                ).alias("rank"),
-                F.abs(
-                    F.lit(base)
-                    + F.lit(alpha) * F.coalesce(F.col("contrib"), F.lit(0.0))
-                    - F.col("rank")
-                ).alias("__delta"),
+                new_rank.alias("rank"),
+                F.abs(new_rank - F.col("__oldr")).alias("__delta"),
             )
             .observe(
                 obs,

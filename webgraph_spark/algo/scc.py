@@ -57,22 +57,34 @@ def _forward_min_coloring(edges: DataFrame, nodes: DataFrame, max_iter: int) -> 
         # builds the persisted edge side every round; with it the
         # O(changed) sender set shuffles and the pre-partitioned edges
         # stream with no exchange.
-        nbr = (
-            edges.join(
-                col.filter(F.col("__ch") == 1).hint("shuffle_hash"),
-                edges["src"] == col["id"],
-            )
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.min("col").alias("__nm"))
+        # Self-row fusion (same as hash_min_components): state rows ride
+        # into the gather aggregation as tagged self rows instead of being
+        # joined back afterwards — one hash aggregate yields the neighbour
+        # min AND the carried old color, saving an O(n) exchange of the
+        # state plus a join build per round.
+        gather = edges.join(
+            col.filter(F.col("__ch") == 1).hint("shuffle_hash"),
+            edges["src"] == col["id"],
+        ).select(
+            F.col("dst").alias("id"),
+            F.col("col").alias("__v"),
+            F.lit(0).alias("__s"),
+        )
+        self_rows = col.select(
+            "id", F.col("col").alias("__v"), F.lit(1).alias("__s")
         )
         obs = Observation()
         updated = (
-            col.select("id", "col")
-            .join(nbr, "id", "left")
+            gather.unionByName(self_rows)
+            .groupBy("id")
+            .agg(
+                F.min(F.when(F.col("__s") == 0, F.col("__v"))).alias("__nm"),
+                F.min(F.when(F.col("__s") == 1, F.col("__v"))).alias("__old"),
+            )
             .select(
                 "id",
-                F.least("col", "__nm").alias("col"),
-                (F.col("__nm") < F.col("col")).cast("int").alias("__ch"),
+                F.least("__old", "__nm").alias("col"),
+                (F.col("__nm") < F.col("__old")).cast("int").alias("__ch"),
             )
             .observe(obs, F.sum("__ch").alias("c"))
             .transform(checkpoint_state)
