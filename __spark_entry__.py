@@ -77,6 +77,7 @@ from webgraph_spark.functions.multimodal import (
     synth_media,
 )
 from webgraph_spark.functions.similarity import (
+    cosine_neardup_pairs,
     cosine_topk,
     cosine_topk_ivf,
     cosine_topk_lsh,
@@ -1236,6 +1237,83 @@ def _q_cosine_topk(spark, sf_dir):
     )
 
 
+def _plant_neardup_embeddings(emb):
+    """Embeddings table + deterministic planted near-duplicates.
+
+    The synthetic embeddings carry no natural near-dups (max pairwise cosine
+    ~0.51), so near-dup queries derive copies IN the query, replayable by
+    the DuckDB oracle with exact IEEE parity: every element is widened to
+    double first, then scaled by ``1 + 0.001*((vec_id + j) % 7)`` (copy A,
+    vec_id+10000, for vec_id < 40) or ``1 + 0.001*((vec_id + 2j) % 5)``
+    (copy B, vec_id+20000, for vec_id < 12) — double literals and integer
+    modulus round identically in both engines. Copies sit at cosine
+    ~0.999999 of their base (and of each other), every cross pair stays
+    below ~0.52, so a 0.9 threshold separates exactly and the planted
+    cluster structure is 12 triples + 28 pairs."""
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+
+    def copy(offset, limit, stride, mod):
+        # rename the id before projecting: an output column aliased
+        # "vec_id" in the SAME select would capture the lambda's
+        # F.col("vec_id") (analyzer resolves against the projection), so
+        # the factor must reference an unambiguous input name
+        src = base.filter(F.col("vec_id") < limit).select(
+            F.col("vec_id").alias("__bid"), "embedding"
+        )
+        return src.select(
+            (F.col("__bid") + offset).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, j: x
+                * (
+                    F.lit(1.0)
+                    + F.lit(0.001)
+                    * ((F.col("__bid") + stride * j) % mod).cast("double")
+                ),
+            ).alias("embedding"),
+        )
+
+    return base.unionByName(copy(10000, 40, 1, 7)).unionByName(
+        copy(20000, 12, 2, 5)
+    )
+
+
+def _q_embed_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs + transitive cluster ids — the
+    vector-space twin of ``minhash_neardup`` (hyperplane-LSH candidates,
+    exact cosine verify at threshold 0.9, hash-min CC over the pair graph).
+
+    Runs over the PORTABLE (md5-derived, integer-exact) buckets so the
+    DuckDB oracle replays the whole pipeline: planted-copy derivation,
+    quantized sign projections, bucket-collision candidate join, exact
+    cosine verify, transitive closure."""
+    from webgraph_spark.algo.components import hash_min_components
+
+    aug = _plant_neardup_embeddings(_emb(spark, sf_dir))
+    pairs = cosine_neardup_pairs(
+        aug, dim=64, threshold=0.9, hash_fn="portable"
+    ).persist()
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    comps = hash_min_components(
+        edges, aug.select(F.col("vec_id").alias("id"))
+    ).components
+    out = (
+        pairs.join(comps, pairs["id_a"] == comps["id"])
+        .select(
+            "id_a",
+            "id_b",
+            F.round("score", 6).alias("score"),
+            F.col("comp").alias("cluster"),
+        )
+    )
+    return out
+
+
 def _q_dedup_exact(spark, sf_dir):
     """Exact dedup + duplicate-group accounting in one frame: one row per
     normalized-content group, keeper = min doc id."""
@@ -1464,6 +1542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_neardup": _q_minhash_neardup,
         "simhash": _q_simhash,
         "cosine_topk": _q_cosine_topk,
+        "embed_neardup": _q_embed_neardup,
         "text_features": _q_text_features,
         "events_windowed": _q_events_windowed,
         "engine_stats": _q_engine_stats,
@@ -1989,6 +2068,52 @@ r AS (SELECT query_id, neighbor_id, score,
 SELECT query_id, neighbor_id, ROUND(score, 6) AS score,
   CAST(rn AS BIGINT) AS rn FROM r WHERE rn <= 5
 """ + ")",
+        # embedding near-dup full replay: planted-copy derivation (exact
+        # double arithmetic, see _plant_neardup_embeddings), md5-derived ±1
+        # hyperplanes over the floor-quantized int64 projection (6 tables x
+        # 8 planes — cosine_neardup_pairs defaults), bucket-collision pairs,
+        # exact cosine verify at 0.9, recursive-CTE transitive closure.
+        "embed_neardup": f"""
+WITH RECURSIVE v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+aug AS (
+  SELECT vec_id, e FROM v
+  UNION ALL
+  SELECT vec_id + 10000, list_transform(generate_series(1, len(e)),
+    j -> e[j] * (1.0 + 0.001 * CAST((vec_id + (j - 1)) % 7 AS DOUBLE)))
+  FROM v WHERE vec_id < 40
+  UNION ALL
+  SELECT vec_id + 20000, list_transform(generate_series(1, len(e)),
+    j -> e[j] * (1.0 + 0.001 * CAST((vec_id + 2 * (j - 1)) % 5 AS DOUBLE)))
+  FROM v WHERE vec_id < 12),
+qz AS (SELECT vec_id,
+  list_transform(e, x -> CAST(floor(x * 1048576.0) AS BIGINT)) AS q FROM aug),
+sgn AS (SELECT t, p, d, CASE WHEN
+  (({_PH60("'hp42:' || t::VARCHAR || ':' || p::VARCHAR || ':' || (d // 60)::VARCHAR")}
+    >> (d % 60)) & 1) = 1 THEN 1 ELSE -1 END AS s
+  FROM generate_series(0, 5) gt(t), generate_series(0, 7) gp(p),
+       generate_series(0, 63) gd(d)),
+proj AS (SELECT z.vec_id, s.t, s.p, sum(z.q[s.d + 1] * s.s) AS dp
+  FROM qz z CROSS JOIN sgn s GROUP BY z.vec_id, s.t, s.p),
+bux AS (SELECT vec_id, t,
+  sum(CASE WHEN dp > 0 THEN (1::BIGINT << p) ELSE 0 END) AS bk
+  FROM proj GROUP BY vec_id, t),
+cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bux a JOIN bux b ON a.t = b.t AND a.bk = b.bk
+  AND a.vec_id < b.vec_id),
+sc AS (SELECT id_a, id_b,
+  list_dot_product(ae.e, be.e)
+    / (sqrt(list_dot_product(ae.e, ae.e)) * sqrt(list_dot_product(be.e, be.e)))
+    AS score
+  FROM cand JOIN aug ae ON ae.vec_id = id_a JOIN aug be ON be.vec_id = id_b),
+pairs AS (SELECT id_a, id_b, score FROM sc WHERE score >= 0.9),
+msym AS (SELECT id_a AS s, id_b AS d FROM pairs
+  UNION SELECT id_b, id_a FROM pairs),
+reach AS (SELECT vec_id AS id, vec_id AS comp FROM aug
+  UNION SELECT e.d AS id, r.comp FROM reach r JOIN msym e ON e.s = r.id),
+comps AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id)
+SELECT p.id_a, p.id_b, ROUND(p.score, 6) AS score, c.comp AS cluster
+FROM pairs p JOIN comps c ON c.id = p.id_a
+""",
         # full engine_stats replay: HyperBall-over-portable-hash — register
         # index j = ph60 % 32, rank rho = trailing zeros + 1 (the
         # (h & -h) - 1 popcount trick), ball register maxes per radius t,

@@ -298,3 +298,53 @@ def test_top_k_geometric_matches_exact(spark):
         .collect()
     ]
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate pairs (LSH candidates + exact verify)
+# ---------------------------------------------------------------------------
+
+
+def test_cosine_neardup_pairs_planted_duplicates(spark):
+    from webgraph_spark.functions.similarity import cosine_neardup_pairs
+
+    rng = np.random.default_rng(7)
+    n, dim = 120, 32
+    vecs = rng.normal(size=(n, dim))
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(n)]
+    # planted near-dups: ids 1000+i are tiny perturbations of i (i < 15);
+    # 2000+i a second perturbation of i (i < 5) -> 5 triangles + 10 pairs
+    for i in range(15):
+        rows.append((1000 + i, [float(x * 1.001) for x in vecs[i]]))
+    for i in range(5):
+        rows.append(
+            (2000 + i, [float(x * (1.0 + 0.0005 * (j % 3)))
+                        for j, x in enumerate(vecs[i])])
+        )
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    for hash_fn in ("xxhash64", "portable"):
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in cosine_neardup_pairs(
+                emb, dim=dim, threshold=0.99, hash_fn=hash_fn
+            ).collect()
+        }
+        want = {(i, 1000 + i) for i in range(15)}
+        want |= {(i, 2000 + i) for i in range(5)}
+        want |= {(1000 + i, 2000 + i) for i in range(5)}
+        # LSH recall on near-identical vectors is ~1; require exactness here
+        # (6 tables x 8 planes, cos >= 0.9999 pairs share >= 1 bucket whp)
+        assert got == want, (hash_fn, got ^ want)
+
+
+def test_cosine_neardup_no_false_positives_random(spark):
+    from webgraph_spark.functions.similarity import cosine_neardup_pairs
+
+    rng = np.random.default_rng(13)
+    vecs = rng.normal(size=(80, 24))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(80)],
+        "vec_id long, embedding array<float>",
+    )
+    # random gaussian vectors in d=24: max pairwise cosine well below 0.95
+    assert cosine_neardup_pairs(emb, dim=24, threshold=0.95).count() == 0

@@ -334,14 +334,23 @@ def cosine_neardup_pairs(
     num_planes: int = 8,
     num_tables: int = 6,
     seed: int = 42,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Embedding near-duplicate pairs (cosine >= threshold), LSH-bucketed
-    candidates verified exactly. Returns (id_a, id_b, score), id_a < id_b."""
+    candidates verified exactly. Returns (id_a, id_b, score), id_a < id_b.
+
+    The embedding-space twin of the MinHash near-dup pipeline: bucket
+    collisions (any of ``num_tables`` hyperplane tables) propose candidates,
+    an exact cosine filter keeps pairs at/above ``threshold``. At corpus
+    scale the pair join is bounded by bucket occupancy — no all-pairs
+    product — and ``hash_fn="portable"`` swaps in the md5-derived
+    integer-exact buckets so a DuckDB oracle replays bucketing, candidate
+    join, and verification bit-for-bit."""
     e = with_lsh_buckets(
         widen_small_input(embeddings).select(
             F.col(id_col).alias("id"), F.col(vec_col).alias("v")
         ),
-        dim, "v", num_planes, num_tables, seed,
+        dim, "v", num_planes, num_tables, seed, hash_fn,
     ).select(
         "id", "v",
         F.explode(
