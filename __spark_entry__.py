@@ -1014,6 +1014,88 @@ def _q_text_roundtrip(spark, sf_dir):
     )
 
 
+def _q_cosin_roundtrip(spark, sf_dir):
+    """COSIN legacy binary round-trip (``cosin/CosinGraph.java:48-190``):
+    write the driver edge set into the fixed-width ``.info``/``.succ`` pair,
+    read it back with the distributed two-pass range reader, return the
+    arcs. The oracle regenerates the same arcs relationally — the hash match
+    proves decode(encode(G)) == G through the real binary container."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from webgraph_spark.sources.cosin import read_cosin, write_cosin
+
+    e = _edges(spark, sf_dir)
+    nmax = e.agg(
+        F.greatest(F.max("src"), F.max("dst")).alias("m")
+    ).collect()[0]["m"]
+    base = tempfile.mkdtemp(prefix="wg_cosin_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    write_cosin(e, base + "/g", num_nodes=int(nmax) + 1)
+    _, back = read_cosin(spark, base + "/g")
+    return back.select("src", "dst")
+
+
+def _q_webbase_convert(spark, sf_dir):
+    """WebBase crawl-dump conversion (``c/webbase.c:20-87`` +
+    ``webbase/Hasher.java:55-80`` + ``webbase/Converter.java:100-160``):
+    synthesize a dump from the supplier table with every filter case planted
+    (robots.txt page, non-http page, mixed-case protocol, space / CRLF /
+    non-lowercase-http / unresolvable outlinks), parse it with the
+    splittable cookie-delimited reader, mint sort-order ids, resolve links.
+    The oracle recomputes kept pages, the id map, and the deduplicated
+    resolved arcs from the same arithmetic."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from webgraph_spark.sources.webbase import (
+        read_webbase_pages,
+        webbase_to_graph,
+        write_webbase_dump,
+    )
+
+    ks = sorted(
+        int(r["s_suppkey"])
+        for r in spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        .select("s_suppkey")
+        .collect()
+    )
+    n = len(ks)
+
+    def url(k: int) -> str:
+        return f"http://node{k:05d}.test/"
+
+    records = []
+    for k in ks:
+        if k % 17 == 0:
+            records.append((url(k) + "robots.txt", [url((k * 7) % n + 1)]))
+        elif k % 23 == 0:
+            records.append((f"ftp://node{k:05d}.test/", [url((k * 7) % n + 1)]))
+        else:
+            page = "HTTP" + url(k)[4:] if k % 5 == 0 else url(k)
+            records.append(
+                (
+                    page,
+                    [
+                        url((k * 7) % n + 1),
+                        url((k * 13) % n + 1),
+                        "http://spa ce.test/",
+                        "nothttp://x.test/",
+                        "Http://case.test/",
+                        "http://nowhere.test/",
+                    ],
+                )
+            )
+    base = tempfile.mkdtemp(prefix="wg_webbase_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    path = base + "/dump.txt"
+    write_webbase_dump(records, path)
+    _, edges = webbase_to_graph(read_webbase_pages(spark, path))
+    return edges.select("src", "dst")
+
+
 def _q_labelled_merge(spark, sf_dir):
     """Both labelled merge families in one tagged frame: the aggregate
     strategy (min) and the fork's DEFAULT keep-last
@@ -1527,6 +1609,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "has_arcs": _q_has_arcs,
         "csr_roundtrip": _q_csr_roundtrip,
         "text_roundtrip": _q_text_roundtrip,
+        "cosin_roundtrip": _q_cosin_roundtrip,
+        "webbase_convert": _q_webbase_convert,
         "labelled_merge": _q_labelled_merge,
         "labelled_compose": _q_labelled_compose,
         "labelled_union": _q_labelled_union,
@@ -1785,6 +1869,22 @@ SELECT metric, value FROM (
             "UNION ALL SELECT 'ascii', src, dst FROM edges "
             "UNION ALL SELECT 'scattered', ms.nid, md.nid FROM edges e "
             "JOIN m ms ON ms.id = e.src JOIN m md ON md.id = e.dst",
+        ),
+        "cosin_roundtrip": _with(
+            EDGES_CTE, select="SELECT src, dst FROM edges"
+        ),
+        "webbase_convert": _with(
+            "nn AS (SELECT count(*) AS c FROM supplier)",
+            "pages AS (SELECT s_suppkey AS k, 'http://node' || "
+            "lpad(CAST(s_suppkey AS VARCHAR), 5, '0') || '.test/' AS url "
+            "FROM supplier WHERE s_suppkey % 17 <> 0 AND s_suppkey % 23 <> 0)",
+            "m AS (SELECT k, url, CAST(row_number() OVER (ORDER BY url) - 1 "
+            "AS BIGINT) AS id FROM pages)",
+            "links AS (SELECT k, (k * 7) % (SELECT c FROM nn) + 1 AS t "
+            "FROM pages UNION ALL "
+            "SELECT k, (k * 13) % (SELECT c FROM nn) + 1 FROM pages)",
+            select="SELECT DISTINCT ms.id AS src, mt.id AS dst FROM links l "
+            "JOIN m ms ON ms.k = l.k JOIN m mt ON mt.k = l.t",
         ),
         "labelled_merge": "SELECT 'min' AS strategy, l_suppkey AS src, "
         "l_partkey % 120 AS dst, min(CAST(floor(l_quantity) AS BIGINT)) "
