@@ -63,7 +63,12 @@ def read_cosin(
     p = chunks or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     p = max(1, min(p, n)) if n else 1
     bounds = [(i * n // p, (i + 1) * n // p) for i in range(p)]
-    spec = spark.createDataFrame(bounds, "lo long, hi long").repartition(p, "lo")
+    # range-partition the chunk specs: p distinct keys into p ranges lands
+    # one chunk per task (hash-partitioning would leave ~1/e of the tasks
+    # empty by birthday collision and double-load others)
+    spec = spark.createDataFrame(bounds, "lo long, hi long").repartitionByRange(
+        p, "lo"
+    )
 
     def deg_sums(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
