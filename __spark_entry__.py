@@ -1374,26 +1374,35 @@ def _q_embed_neardup(spark, sf_dir):
     cosine verify, transitive closure."""
     from webgraph_spark.algo.components import hash_min_components
 
+    from webgraph_spark.plans.iterate import checkpoint_state
+
     aug = _plant_neardup_embeddings(_emb(spark, sf_dir))
     pairs = cosine_neardup_pairs(
         aug, dim=64, threshold=0.9, hash_fn="portable"
     ).persist()
-    edges = pairs.select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    )
-    comps = hash_min_components(
-        edges, aug.select(F.col("vec_id").alias("id"))
-    ).components
-    out = (
-        pairs.join(comps, pairs["id_a"] == comps["id"])
-        .select(
-            "id_a",
-            "id_b",
-            F.round("score", 6).alias("score"),
-            F.col("comp").alias("cluster"),
+    try:
+        pairs.count()
+        edges = pairs.select(
+            F.col("id_a").alias("src"), F.col("id_b").alias("dst")
         )
-    )
-    return out
+        comps = hash_min_components(
+            edges, aug.select(F.col("vec_id").alias("id"))
+        ).components
+        out = (
+            pairs.join(comps, pairs["id_a"] == comps["id"])
+            .select(
+                "id_a",
+                "id_b",
+                F.round("score", 6).alias("score"),
+                F.col("comp").alias("cluster"),
+            )
+        )
+        # checkpoint the (small) result so the pairs cache can be released
+        # before returning — repeated driver-query runs in one session must
+        # not accumulate cached blocks
+        return out.transform(checkpoint_state)
+    finally:
+        pairs.unpersist()
 
 
 def _q_dedup_exact(spark, sf_dir):
@@ -1916,7 +1925,11 @@ SELECT metric, value FROM (
             "(SELECT * FROM g0 UNION ALL SELECT * FROM g1) u "
             "GROUP BY src, dst",
         ),
-        "k_core": _kcore_sql(56, 20),
+        # 40 unrolled rounds: the peel is monotone so rounds past the
+        # fixpoint are no-ops; depth is ~13 at sf0.01 but DATA-DEPENDENT, so
+        # the margin is sized for any sf the checker may point at (a depth
+        # ever exceeding it would surface as a rows mismatch, not silently)
+        "k_core": _kcore_sql(56, 40),
         "hits": _hits_sql(HITS_ITERS),
         # local coefficients per node + global transitivity as the
         # (scope='global', id=-1) row — mirrors _q_clustering's union

@@ -66,6 +66,12 @@ def triangle_vertices(edges: DataFrame) -> DataFrame:
     """
     o = _oriented(edges).persist()
     o.count()
+    return _triangle_corners(o)
+
+
+def _triangle_corners(o: DataFrame) -> DataFrame:
+    """Triangle rows from an already-persisted oriented edge set ``o``
+    (callers own ``o``'s lifecycle)."""
     e1 = o.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     e2 = o.select(F.col("src").alias("b"), F.col("dst").alias("c"))
     wedges = e1.join(e2, "b").select("a", "b", "c")
@@ -124,7 +130,15 @@ def local_clustering_coefficient(edges: DataFrame) -> DataFrame:
     Reuses the degree-oriented triangle corners plus the undirected degree
     table — both single aggregates over the one-shuffle symmetrized set.
     Every node gets a row (zero-filled), matching the usual definition.
+
+    Both cached frames (the symmetrized set and the oriented set behind the
+    corners) are materialized EAGERLY before any multi-consumer action —
+    the concurrent-populate race the module's other docstrings describe —
+    and unpersisted after the n-row result is checkpointed, so repeated
+    invocations don't accumulate cached blocks.
     """
+    from webgraph_spark.plans.iterate import checkpoint_state
+
     spark = edges.sparkSession
     p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     simple = (
@@ -136,25 +150,38 @@ def local_clustering_coefficient(edges: DataFrame) -> DataFrame:
         .dropDuplicates(["src", "dst"])
         .persist()
     )
-    deg = simple.groupBy(F.col("src").alias("id")).agg(
-        F.count(F.lit(1)).alias("deg")
-    )
-    tri = triangles_per_vertex(simple)
-    out = (
-        deg.join(tri, "id", "left")
-        .select(
-            "id",
-            F.when(
-                F.col("deg") >= 2,
-                2.0
-                * F.coalesce("triangles", F.lit(0))
-                / (F.col("deg") * (F.col("deg") - 1)),
-            )
-            .otherwise(F.lit(0.0))
-            .alias("lcc"),
+    simple.count()
+    o = _oriented(simple).persist()
+    try:
+        o.count()
+        deg = simple.groupBy(F.col("src").alias("id")).agg(
+            F.count(F.lit(1)).alias("deg")
         )
-    )
-    return out
+        t = _triangle_corners(o)
+        corners = (
+            t.select(F.col("a").alias("id"))
+            .unionAll(t.select(F.col("b").alias("id")))
+            .unionAll(t.select(F.col("c").alias("id")))
+        )
+        tri = corners.groupBy("id").agg(F.count(F.lit(1)).alias("triangles"))
+        out = (
+            deg.join(tri, "id", "left")
+            .select(
+                "id",
+                F.when(
+                    F.col("deg") >= 2,
+                    2.0
+                    * F.coalesce("triangles", F.lit(0))
+                    / (F.col("deg") * (F.col("deg") - 1)),
+                )
+                .otherwise(F.lit(0.0))
+                .alias("lcc"),
+            )
+        )
+        return out.transform(checkpoint_state)
+    finally:
+        o.unpersist()
+        simple.unpersist()
 
 
 def global_clustering_coefficient(edges: DataFrame) -> float:

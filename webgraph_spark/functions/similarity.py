@@ -357,6 +357,12 @@ def cosine_neardup_pairs(
             F.transform("buckets", lambda b, i: F.struct(i.alias("t"), b.alias("bk")))
         ).alias("tb"),
     ).select("id", "v", F.col("tb.t").alias("t"), F.col("tb.bk").alias("bk"))
+    # persisted + materialized BEFORE the self-join: both join sides are
+    # projections of this frame, and inside one action they would otherwise
+    # race to populate the cache and run the signature UDF twice per row
+    # (the same fix the minhash/simhash pipelines carry)
+    e = e.persist()
+    e.count()
     a = e.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "t", "bk")
     b = e.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "t", "bk")
     return (

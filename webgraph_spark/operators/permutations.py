@@ -110,6 +110,19 @@ def _filled_succ_key(
     )
 
 
+def _exact_succ_key(edges: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Exact-mode (``max_prefix=None``) key base: every column of ``nodes``
+    plus the FULL sorted successor array ``__succs`` (empty for sources
+    without out-arcs — sorts first, matching an all-zero adjacency row).
+    Shared by the lex / Gray / host-Gray exact branches."""
+    succ = edges.groupBy(F.col("src").alias("id")).agg(
+        F.array_sort(F.collect_list("dst")).alias("__succs")
+    )
+    return nodes.join(succ, "id", "left").withColumn(
+        "__succs", F.coalesce("__succs", F.array().cast("array<long>"))
+    )
+
+
 def lexicographic_permutation(
     edges: DataFrame,
     nodes: DataFrame,
@@ -126,13 +139,8 @@ def lexicographic_permutation(
     for graphs without huge hubs.
     """
     if max_prefix is None:
-        succ = edges.groupBy(F.col("src").alias("id")).agg(
-            F.array_sort(F.collect_list("dst")).alias("__succs")
-        )
-        keyed = nodes.join(succ, "id", "left").select(
-            "id",
-            F.coalesce("__succs", F.array().cast("array<long>")).alias("__k"),
-            F.col("id").alias("__t"),
+        keyed = _exact_succ_key(edges, nodes).select(
+            "id", F.col("__succs").alias("__k"), F.col("id").alias("__t")
         )
         return _rank_to_map(keyed)
     keyed = _filled_succ_key(edges, nodes, max_prefix, hash_fn).withColumn(
@@ -197,18 +205,10 @@ def gray_code_permutation(
     bounded rule over the Gray-transformed prefix (module docstring);
     ``max_prefix=None`` opts into the exact full-array key."""
     if max_prefix is None:
-        succ = edges.groupBy(F.col("src").alias("id")).agg(
-            F.array_sort(F.collect_list("dst")).alias("__succs")
-        )
-        keyed = (
-            nodes.join(succ, "id", "left")
-            .select(
-                "id",
-                gray_code_key(
-                    F.coalesce("__succs", F.array().cast("array<long>"))
-                ).alias("__k"),
-                F.col("id").alias("__t"),
-            )
+        keyed = _exact_succ_key(edges, nodes).select(
+            "id",
+            gray_code_key(F.col("__succs")).alias("__k"),
+            F.col("id").alias("__t"),
         )
         return _rank_to_map(keyed)
     filled = _filled_succ_key(edges, nodes, max_prefix, hash_fn)
@@ -235,19 +235,11 @@ def host_gray_permutation(
     ``(id, *host_cols)``. Same bounded default as
     :func:`gray_code_permutation`."""
     if max_prefix is None:
-        succ = edges.groupBy(F.col("src").alias("id")).agg(
-            F.array_sort(F.collect_list("dst")).alias("__succs")
-        )
-        keyed = (
-            node_attrs.join(succ, "id", "left")
-            .select(
-                "id",
-                *host_cols,
-                gray_code_key(
-                    F.coalesce("__succs", F.array().cast("array<long>"))
-                ).alias("__k"),
-                F.col("id").alias("__t"),
-            )
+        keyed = _exact_succ_key(edges, node_attrs).select(
+            "id",
+            *host_cols,
+            gray_code_key(F.col("__succs")).alias("__k"),
+            F.col("id").alias("__t"),
         )
         return _rank_to_map(keyed)
     filled = _filled_succ_key(edges, node_attrs.select("id"), max_prefix, hash_fn)

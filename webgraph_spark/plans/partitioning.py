@@ -148,7 +148,11 @@ def widen_small_input(df: DataFrame, num_partitions: int | None = None) -> DataF
     # openCostInBytes), so >= p tiny files can still scan as ONE split.
     try:
         files = df.inputFiles()
-        if files:
+        # bytes imply splits only for SPLITTABLE files: a multi-GB .gz (or
+        # other whole-file codec) scans as ONE partition no matter its size,
+        # so it must fall through to the partition-count probe below
+        unsplittable = (".gz", ".zst", ".zstd", ".lz4", ".sz", ".deflate")
+        if files and not any(u.lower().endswith(unsplittable) for u in files):
             max_split = _size_conf(spark, "spark.sql.files.maxPartitionBytes",
                                    128 * 1024 * 1024)
             total = 0

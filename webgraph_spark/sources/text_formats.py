@@ -195,8 +195,14 @@ def read_scattered_labelled_arcs(
     merging with ``max(struct(line_no, label))``. The aggregate strategies
     (min/max/sum/count) skip the line-number pass entirely."""
     if merge_strategy in ("last", "first"):
+        import re as _re
+
+        # F.split takes a REGEX; escape so a metachar sep ('|', '.', '+')
+        # splits literally, exactly like the csv path's literal separator.
+        # (This path needs global line order, so it also requires a single
+        # input file — _with_line_numbers enforces that.)
         numbered = _with_line_numbers(spark.read.text(path))
-        parts = F.split(F.col("value"), sep)
+        parts = F.split(F.col("value"), _re.escape(sep))
         raw = (
             numbered.filter(
                 (F.length(F.trim("value")) > 0)
