@@ -1437,24 +1437,35 @@ def _q_minhash_neardup(spark, sf_dir):
     join, exact-Jaccard verify, transitive closure; the throughput default
     (xxhash64 mod 2^64) shares every line but the hash primitive."""
     from webgraph_spark.algo.components import hash_min_components
+    from webgraph_spark.plans.iterate import checkpoint_state
 
     docs = _docs(spark, sf_dir)
     pairs = minhash_lsh_pairs(
         docs, "doc_id", "text", n=3, num_hashes=64, bands=16, threshold=0.2,
         hash_fn="portable",
     ).persist()
-    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    comps = hash_min_components(
-        edges, docs.select(F.col("doc_id").alias("id"))
-    ).components
-    return (
-        pairs.join(comps, pairs["id_a"] == comps["id"])
-        .select(
-            "id_a", "id_b",
-            F.round("jaccard", 6).alias("jaccard"),
-            F.col("comp").alias("cluster"),
+    try:
+        pairs.count()
+        edges = pairs.select(
+            F.col("id_a").alias("src"), F.col("id_b").alias("dst")
         )
-    )
+        comps = hash_min_components(
+            edges, docs.select(F.col("doc_id").alias("id"))
+        ).components
+        out = (
+            pairs.join(comps, pairs["id_a"] == comps["id"])
+            .select(
+                "id_a", "id_b",
+                F.round("jaccard", 6).alias("jaccard"),
+                F.col("comp").alias("cluster"),
+            )
+        )
+        # checkpoint the (small) result so the pairs cache can be released
+        # before returning — repeated driver-query runs in one session must
+        # not accumulate cached blocks
+        return out.transform(checkpoint_state)
+    finally:
+        pairs.unpersist()
 
 
 def _q_simhash(spark, sf_dir):
@@ -1536,14 +1547,20 @@ def _q_corpus_invariant(spark, sf_dir):
     checksums — the DuckDB oracle REGENERATES the corpus arithmetically and
     must reproduce the same min/max content hashes."""
     corpus = synth_corpus(spark, **CORPUS_SHAPE).persist()
-    viol = corpus.filter(
-        F.sha2(F.col("content"), 256) != F.col("content_sha")
-    ).count()
-    agg = corpus.agg(
-        F.count(F.lit(1)).alias("rows"),
-        F.min("content_sha").alias("mn"),
-        F.max("content_sha").alias("mx"),
-    ).collect()[0]
+    try:
+        viol = corpus.filter(
+            F.sha2(F.col("content"), 256) != F.col("content_sha")
+        ).count()
+        agg = corpus.agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.min("content_sha").alias("mn"),
+            F.max("content_sha").alias("mx"),
+        ).collect()[0]
+    finally:
+        # both actions are done and the result below is a local literal
+        # frame — release the cache so repeated driver-query runs in one
+        # session do not accumulate blocks
+        corpus.unpersist()
     return spark.createDataFrame(
         [(int(agg["rows"]), int(viol), agg["mn"], agg["mx"])],
         "corpus_rows long, sha_violations long, min_sha string, max_sha string",
