@@ -1,0 +1,335 @@
+"""Block-vector label propagation: label state as per-block dense vectors.
+
+The row-state kernel (:func:`webgraph_spark.algo.labelprop.label_propagation`)
+pays three exchanges per round — the O(n) label table to the edge layout, the
+O(m) gathered (dst, label) rows into the vote aggregate, and the vote
+partials to the final per-node aggregate — and the (dst, label) hash
+aggregate is the dominant cost (it hashes one JVM row per edge per round).
+This variant mirrors :mod:`webgraph_spark.algo.pagerank_block`: the entire
+label state lives as one dense ``array<int64>`` per CSR block of the
+SYMMETRIZED graph, and one round is
+
+1. cogroup(slotform, state) on the source block — the slot-form (per
+   (src_block, dst_block) pair: edge-aligned int32 ``src_slot``/``dst_slot``
+   arrays, decoded from the varint CSR exactly once and cached) streams with
+   no exchange; the kernel gathers source labels by slot indexing and
+   PRE-COMBINES the (dst_slot, label) votes of the pair with one lexsort —
+   emitting one compact binary row per block pair (slots + labels + counts),
+   never one row per edge.
+2. shuffle those B² partial-vote rows by dst_block — bytes are bounded by
+   the number of DISTINCT (dst, label) pairs per source block, which starts
+   ≤ m and collapses as labels coalesce (the whole point of LPA).
+3. cogroup(partials, state) on the destination block: merge the partial
+   counts (one lexsort over the concatenated triples), pick each slot's
+   winner (max count, ties to the LOWEST label — the same deterministic rule
+   as the row kernel and the SQL oracle), keep the old label where no vote
+   arrived, and ride the per-block changed count on the eager checkpoint as
+   an observed metric — ONE Spark action per round.
+
+Semantics are bit-identical to the row kernel (differential-tested): votes
+are integer counts, so there is no float-order hazard at all.
+
+Scale notes: state bytes per round are O(id-range · 8); the shuffle is the
+pre-combined vote partials (≤ min(m, distinct pairs) · 14 bytes, binary-
+packed — no JVM row overhead); per-edge CPU is one gather + one lexsort per
+round, all inside numpy. Like the PageRank block kernel this assumes
+reasonably dense node ids (``sources/ids.mint_dense_ids`` is the standard
+preprocessing, exactly as WebGraph renumbers to 0..n-1).
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+from webgraph_spark.algo.labelprop import LabelPropResult
+from webgraph_spark.plans.csr import CsrGraph, decode_block
+from webgraph_spark.plans.iterate import checkpoint_state
+
+_STATE_SCHEMA = (
+    "block_id long, lo long, hi long, mask binary, labels binary, "
+    "block_changed long"
+)
+
+_PARTIAL_SCHEMA = "dst_block long, slots binary, labs binary, cnts binary"
+
+_SLOTFORM_SCHEMA = "src_block long, dst_block long, src_slot binary, dst_slot binary"
+
+
+def _combine_votes(ds: np.ndarray, lab: np.ndarray, cnt: np.ndarray):
+    """Sum counts over equal (slot, label) pairs; returns sorted triples
+    (slot asc, label asc within slot)."""
+    order = np.lexsort((lab, ds))
+    ds, lab, cnt = ds[order], lab[order], cnt[order]
+    if ds.size == 0:
+        return ds, lab, cnt
+    new_run = np.empty(ds.size, dtype=bool)
+    new_run[0] = True
+    np.not_equal(ds[1:], ds[:-1], out=new_run[1:])
+    np.logical_or(new_run[1:], lab[1:] != lab[:-1], out=new_run[1:])
+    starts = np.flatnonzero(new_run)
+    sums = np.add.reduceat(cnt.astype(np.int64), starts)
+    return ds[starts], lab[starts], sums
+
+
+def label_propagation_block(
+    spark: SparkSession,
+    csr_sym: CsrGraph,
+    nodes: DataFrame,
+    max_iter: int = 20,
+    initial: DataFrame | None = None,
+) -> LabelPropResult:
+    """Synchronous LPA over a CSR of the SYMMETRIZED loop-free graph.
+
+    ``csr_sym`` must be built from the symmetrized edge set (both directions
+    present, duplicates removed) — the caller owns that contract; see
+    :func:`webgraph_spark.plans.partitioning.symmetrize_for_join`. Stops at
+    fixpoint or after ``max_iter`` rounds, like the row kernel.
+    """
+    shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    blocks = (
+        csr_sym.blocks.repartition(shuffle_parts, "block_id")
+        .sortWithinPartitions("block_id")
+        .persist()
+    )
+    blocks.count()
+    cuts = np.asarray(csr_sym.cuts, dtype=np.int64)
+
+    tagged = nodes.select("id").withColumn(
+        "block_id", csr_sym.node_block_id_col("id")
+    )
+    if initial is not None:
+        tagged = tagged.join(initial.select("id", "label"), "id", "left")
+    else:
+        tagged = tagged.withColumn("label", F.col("id"))
+
+    def init_kernel(key, pdf):
+        import pandas as pd
+
+        ids = pdf["id"].to_numpy(np.int64)
+        labs = pdf["label"].to_numpy(np.int64)
+        lo, hi = int(ids.min()), int(ids.max())
+        width = hi - lo + 1
+        mask = np.zeros(width, dtype=np.int8)
+        labels = np.zeros(width, dtype=np.int64)
+        mask[ids - lo] = 1
+        labels[ids - lo] = labs
+        return pd.DataFrame(
+            {
+                "block_id": [int(key[0])],
+                "lo": [lo],
+                "hi": [hi],
+                "mask": [mask.tobytes()],
+                "labels": [labels.tobytes()],
+                "block_changed": [0],
+            }
+        )
+
+    state = (
+        tagged.groupBy("block_id")
+        .applyInPandas(init_kernel, schema=_STATE_SCHEMA)
+        .transform(checkpoint_state)
+    )
+    rows = state.select("block_id", "lo", "hi").collect()
+    rng_bid = np.array([r["block_id"] for r in rows], dtype=np.int64)
+    rng_lo = np.array([r["lo"] for r in rows], dtype=np.int64)
+    order = np.argsort(rng_bid)
+    rng_bid, rng_lo = rng_bid[order], rng_lo[order]
+
+    # decode the varint CSR once into edge-aligned (src_slot, dst_slot)
+    # int32 pairs per (src_block, dst_block) — the LPA analogue of the
+    # PageRank slot-form (no degree column: votes are unweighted)
+    def slotform_kernel(batches):
+        for batch in batches:
+            out = {"src_block": [], "dst_block": [], "src_slot": [], "dst_slot": []}
+            bid_col = batch.column("block_id")
+            srcs_col = batch.column("srcs")
+            degs_col = batch.column("degs")
+            succ_col = batch.column("succ")
+            for i in range(batch.num_rows):
+                srcs = np.asarray(srcs_col[i].values, dtype=np.int64)
+                degs = np.asarray(degs_col[i].values, dtype=np.int64)
+                srcs, indptr, succs = decode_block(srcs, degs, succ_col[i].as_py())
+                b_src = int(bid_col[i].as_py())
+                pos = int(np.searchsorted(rng_bid, b_src))
+                if pos >= rng_bid.size or rng_bid[pos] != b_src:
+                    continue
+                lo = int(rng_lo[pos])
+                d = np.diff(indptr)
+                src_slot = (np.repeat(srcs, d) - lo).astype(np.int32)
+                dblk = np.searchsorted(cuts, succs, side="left")
+                for b in np.unique(dblk):
+                    sel = dblk == b
+                    pos2 = int(np.searchsorted(rng_bid, b))
+                    if pos2 >= rng_bid.size or rng_bid[pos2] != b:
+                        continue
+                    blo = int(rng_lo[pos2])
+                    out["src_block"].append(b_src)
+                    out["dst_block"].append(int(b))
+                    out["src_slot"].append(src_slot[sel].tobytes())
+                    out["dst_slot"].append(
+                        (succs[sel] - blo).astype(np.int32).tobytes()
+                    )
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "src_block": pa.array(out["src_block"], pa.int64()),
+                    "dst_block": pa.array(out["dst_block"], pa.int64()),
+                    "src_slot": pa.array(out["src_slot"], pa.binary()),
+                    "dst_slot": pa.array(out["dst_slot"], pa.binary()),
+                }
+            )
+
+    slotform = (
+        blocks.mapInArrow(slotform_kernel, schema=_SLOTFORM_SCHEMA)
+        .repartition(shuffle_parts, "src_block")
+        .sortWithinPartitions("src_block")
+        .persist()
+    )
+    slotform.count()
+    blocks.unpersist()
+
+    def vote_kernel(slot_tbl: "pa.Table", state_tbl: "pa.Table") -> "pa.Table":
+        out_dstb: list[int] = []
+        out_slots: list[bytes] = []
+        out_labs: list[bytes] = []
+        out_cnts: list[bytes] = []
+        if state_tbl.num_rows and slot_tbl.num_rows:
+            lvec = np.frombuffer(
+                state_tbl.column("labels")[0].as_py(), dtype=np.int64
+            )
+            dstb_col = slot_tbl.column("dst_block")
+            ss_col = slot_tbl.column("src_slot")
+            ds_col = slot_tbl.column("dst_slot")
+            for i in range(slot_tbl.num_rows):
+                ss = np.frombuffer(ss_col[i].as_py(), dtype=np.int32)
+                ds = np.frombuffer(ds_col[i].as_py(), dtype=np.int32)
+                lab = lvec[ss]
+                u_ds, u_lab, u_cnt = _combine_votes(
+                    ds, lab, np.ones(ds.size, dtype=np.int32)
+                )
+                out_dstb.append(int(dstb_col[i].as_py()))
+                out_slots.append(u_ds.astype(np.int32).tobytes())
+                out_labs.append(u_lab.astype(np.int64).tobytes())
+                out_cnts.append(u_cnt.astype(np.int64).tobytes())
+        return pa.table(
+            {
+                "dst_block": pa.array(out_dstb, pa.int64()),
+                "slots": pa.array(out_slots, pa.binary()),
+                "labs": pa.array(out_labs, pa.binary()),
+                "cnts": pa.array(out_cnts, pa.binary()),
+            }
+        )
+
+    result = LabelPropResult(labels=None, iterations=0)
+    for it in range(max_iter):
+        t0 = time.monotonic()
+        partials = (
+            slotform.groupby("src_block")
+            .cogroup(state.groupby("block_id"))
+            .applyInArrow(vote_kernel, schema=_PARTIAL_SCHEMA)
+        )
+        obs = Observation()
+        new_state = (
+            partials.groupby("dst_block")
+            .cogroup(state.groupby("block_id"))
+            .applyInArrow(_update_kernel, schema=_STATE_SCHEMA)
+            .observe(obs, F.sum("block_changed").alias("c"))
+            .transform(checkpoint_state)
+        )
+        changed = int(obs.get["c"] or 0)
+        state = new_state
+        result.changed_per_iter.append(changed)
+        result.iter_seconds.append(time.monotonic() - t0)
+        result.iterations = it + 1
+        if changed == 0:
+            break
+    slotform.unpersist()
+
+    def explode_kernel(batches):
+        for batch in batches:
+            for i in range(batch.num_rows):
+                lo = batch.column("lo")[i].as_py()
+                mask = np.frombuffer(
+                    batch.column("mask")[i].as_py(), dtype=np.int8
+                )
+                labels = np.frombuffer(
+                    batch.column("labels")[i].as_py(), dtype=np.int64
+                )
+                live = np.flatnonzero(mask)
+                yield pa.RecordBatch.from_pydict(
+                    {
+                        "id": pa.array(live + lo, pa.int64()),
+                        "label": pa.array(labels[live], pa.int64()),
+                    }
+                )
+
+    result.labels = state.mapInArrow(explode_kernel, schema="id long, label long")
+    return result
+
+
+_ARROW_STATE = pa.schema(
+    [
+        ("block_id", pa.int64()),
+        ("lo", pa.int64()),
+        ("hi", pa.int64()),
+        ("mask", pa.binary()),
+        ("labels", pa.binary()),
+        ("block_changed", pa.int64()),
+    ]
+)
+
+
+def _update_kernel(parts_tbl: "pa.Table", state_tbl: "pa.Table") -> "pa.Table":
+    if state_tbl.num_rows == 0:
+        return pa.table({f.name: pa.array([], f.type) for f in _ARROW_STATE})
+    mask = np.frombuffer(state_tbl.column("mask")[0].as_py(), dtype=np.int8)
+    old = np.frombuffer(state_tbl.column("labels")[0].as_py(), dtype=np.int64)
+    new = old
+    changed = 0
+    if parts_tbl.num_rows:
+        ds = np.concatenate(
+            [
+                np.frombuffer(v.as_py(), dtype=np.int32)
+                for v in parts_tbl.column("slots")
+            ]
+        )
+        lab = np.concatenate(
+            [
+                np.frombuffer(v.as_py(), dtype=np.int64)
+                for v in parts_tbl.column("labs")
+            ]
+        )
+        cnt = np.concatenate(
+            [
+                np.frombuffer(v.as_py(), dtype=np.int64)
+                for v in parts_tbl.column("cnts")
+            ]
+        )
+        ds, lab, cnt = _combine_votes(ds, lab, cnt)
+        if ds.size:
+            # winner per slot: max count, ties to the LOWEST label — sort
+            # by (slot asc, count desc, label asc), take each slot's first
+            order = np.lexsort((lab, -cnt, ds))
+            ds, lab = ds[order], lab[order]
+            first = np.empty(ds.size, dtype=bool)
+            first[0] = True
+            np.not_equal(ds[1:], ds[:-1], out=first[1:])
+            win_slots = ds[first]
+            win_labs = lab[first]
+            new = old.copy()
+            new[win_slots] = win_labs
+            changed = int(np.count_nonzero((new != old) & (mask > 0)))
+    return pa.table(
+        {
+            "block_id": state_tbl.column("block_id"),
+            "lo": state_tbl.column("lo"),
+            "hi": state_tbl.column("hi"),
+            "mask": state_tbl.column("mask"),
+            "labels": pa.array([new.tobytes()], pa.binary()),
+            "block_changed": pa.array([changed], pa.int64()),
+        }
+    )
