@@ -47,8 +47,9 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from webgraph_spark.algo.labelprop import LabelPropResult
-from webgraph_spark.plans.csr import CsrGraph, decode_block
+from webgraph_spark.plans.csr import CsrGraph
 from webgraph_spark.plans.iterate import checkpoint_state
+from webgraph_spark.plans.slotform import block_ranges, build_pair_slotform
 
 _STATE_SCHEMA = (
     "block_id long, lo long, hi long, mask binary, labels binary, "
@@ -57,7 +58,6 @@ _STATE_SCHEMA = (
 
 _PARTIAL_SCHEMA = "dst_block long, slots binary, labs binary, cnts binary"
 
-_SLOTFORM_SCHEMA = "src_block long, dst_block long, src_slot binary, dst_slot binary"
 
 
 def _combine_votes(ds: np.ndarray, lab: np.ndarray, cnt: np.ndarray):
@@ -91,14 +91,6 @@ def label_propagation_block(
     fixpoint or after ``max_iter`` rounds, like the row kernel.
     """
     shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    blocks = (
-        csr_sym.blocks.repartition(shuffle_parts, "block_id")
-        .sortWithinPartitions("block_id")
-        .persist()
-    )
-    blocks.count()
-    cuts = np.asarray(csr_sym.cuts, dtype=np.int64)
-
     tagged = nodes.select("id").withColumn(
         "block_id", csr_sym.node_block_id_col("id")
     )
@@ -134,63 +126,14 @@ def label_propagation_block(
         .applyInPandas(init_kernel, schema=_STATE_SCHEMA)
         .transform(checkpoint_state)
     )
-    rows = state.select("block_id", "lo", "hi").collect()
-    rng_bid = np.array([r["block_id"] for r in rows], dtype=np.int64)
-    rng_lo = np.array([r["lo"] for r in rows], dtype=np.int64)
-    order = np.argsort(rng_bid)
-    rng_bid, rng_lo = rng_bid[order], rng_lo[order]
+    rng_bid, rng_lo = block_ranges(
+        state.select("block_id", "lo", "hi").collect()
+    )
 
     # decode the varint CSR once into edge-aligned (src_slot, dst_slot)
-    # int32 pairs per (src_block, dst_block) — the LPA analogue of the
-    # PageRank slot-form (no degree column: votes are unweighted)
-    def slotform_kernel(batches):
-        for batch in batches:
-            out = {"src_block": [], "dst_block": [], "src_slot": [], "dst_slot": []}
-            bid_col = batch.column("block_id")
-            srcs_col = batch.column("srcs")
-            degs_col = batch.column("degs")
-            succ_col = batch.column("succ")
-            for i in range(batch.num_rows):
-                srcs = np.asarray(srcs_col[i].values, dtype=np.int64)
-                degs = np.asarray(degs_col[i].values, dtype=np.int64)
-                srcs, indptr, succs = decode_block(srcs, degs, succ_col[i].as_py())
-                b_src = int(bid_col[i].as_py())
-                pos = int(np.searchsorted(rng_bid, b_src))
-                if pos >= rng_bid.size or rng_bid[pos] != b_src:
-                    continue
-                lo = int(rng_lo[pos])
-                d = np.diff(indptr)
-                src_slot = (np.repeat(srcs, d) - lo).astype(np.int32)
-                dblk = np.searchsorted(cuts, succs, side="left")
-                for b in np.unique(dblk):
-                    sel = dblk == b
-                    pos2 = int(np.searchsorted(rng_bid, b))
-                    if pos2 >= rng_bid.size or rng_bid[pos2] != b:
-                        continue
-                    blo = int(rng_lo[pos2])
-                    out["src_block"].append(b_src)
-                    out["dst_block"].append(int(b))
-                    out["src_slot"].append(src_slot[sel].tobytes())
-                    out["dst_slot"].append(
-                        (succs[sel] - blo).astype(np.int32).tobytes()
-                    )
-            yield pa.RecordBatch.from_pydict(
-                {
-                    "src_block": pa.array(out["src_block"], pa.int64()),
-                    "dst_block": pa.array(out["dst_block"], pa.int64()),
-                    "src_slot": pa.array(out["src_slot"], pa.binary()),
-                    "dst_slot": pa.array(out["dst_slot"], pa.binary()),
-                }
-            )
-
-    slotform = (
-        blocks.mapInArrow(slotform_kernel, schema=_SLOTFORM_SCHEMA)
-        .repartition(shuffle_parts, "src_block")
-        .sortWithinPartitions("src_block")
-        .persist()
-    )
-    slotform.count()
-    blocks.unpersist()
+    # int32 pairs per (src_block, dst_block) — shared with the block CC
+    # kernel and cached on the CsrGraph for cross-algorithm reuse
+    slotform = build_pair_slotform(csr_sym, rng_bid, rng_lo, shuffle_parts)
 
     def vote_kernel(slot_tbl: "pa.Table", state_tbl: "pa.Table") -> "pa.Table":
         out_dstb: list[int] = []
@@ -247,7 +190,8 @@ def label_propagation_block(
         result.iterations = it + 1
         if changed == 0:
             break
-    slotform.unpersist()
+    # the slot-form stays persisted: it lives in csr_sym._pair_slotform_cache
+    # for the next block kernel on this CsrGraph (CC, or another LPA run)
 
     def explode_kernel(batches):
         for batch in batches:
