@@ -838,6 +838,37 @@ def _q_labelprop(spark, sf_dir):
     )
 
 
+def _sym_csr(spark, sf_dir):
+    """Symmetrized CSR for the block fixpoint kernels (LPA/CC scale path)."""
+    from webgraph_spark.plans.partitioning import symmetrize_for_join
+
+    e = _edges(spark, sf_dir)
+    return build_csr(symmetrize_for_join(e, "src"), num_blocks=8), _nodes(e)
+
+
+def _q_labelprop_block(spark, sf_dir):
+    """Block-vector LPA kernel (the scale path — per-block dense label
+    vectors, lexsort vote combining); same semantics and oracle as the row
+    kernel's `labelprop`."""
+    from webgraph_spark.algo.labelprop_block import label_propagation_block
+
+    csr, nodes = _sym_csr(spark, sf_dir)
+    return label_propagation_block(
+        spark, csr, nodes, max_iter=LPA_ITERS
+    ).labels.select("id", "label")
+
+
+def _q_cc_block(spark, sf_dir):
+    """Block-vector hash-min CC kernel (the scale path); same fixpoint as
+    the row kernel's `cc_components` (min node id per component)."""
+    from webgraph_spark.algo.components_block import hash_min_components_block
+
+    csr, nodes = _sym_csr(spark, sf_dir)
+    return hash_min_components_block(spark, csr, nodes).components.select(
+        "id", "comp"
+    )
+
+
 def _q_pagerank_edges(spark, sf_dir):
     e = _edges(spark, sf_dir)
     res = pagerank_edges(e, _nodes(e), alpha=ALPHA, n_iter=PR_ITERS)
@@ -1622,6 +1653,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_largest_cc": _q_extract_largest_cc,
         "cc_components": _q_cc,
         "labelprop": _q_labelprop,
+        "labelprop_block": _q_labelprop_block,
+        "cc_block": _q_cc_block,
         "pagerank_edges": _q_pagerank_edges,
         "pagerank_csr": _q_pagerank_csr,
         "pagerank_weighted": _q_pagerank_weighted,
@@ -1804,6 +1837,10 @@ SELECT metric, value FROM (
             recursive=True,
         ),
         "labelprop": _lpa_sql(LPA_ITERS),
+        "labelprop_block": _lpa_sql(LPA_ITERS),
+        "cc_block": _with(
+            *_CC_CTES, select="SELECT id, comp FROM comps", recursive=True
+        ),
         "pagerank_edges": _pagerank_sql(PR_ITERS),
         "pagerank_csr": _pagerank_sql(PR_ITERS),
         "pagerank_weighted": _pagerank_weighted_sql(PR_ITERS),

@@ -188,6 +188,15 @@ def run_job(rounds):
         res = label_propagation(edges, nodes, max_iter=rounds)
         res.labels.unpersist()
         return res.iterations
+    if job == "cc_block":
+        from webgraph_spark.algo.components_block import hash_min_components_block
+        from webgraph_spark.plans.csr import build_csr
+        from webgraph_spark.plans.partitioning import symmetrize_for_join
+        sym = symmetrize_for_join(edges, "src")
+        csr = build_csr(sym)
+        res = hash_min_components_block(spark, csr, nodes, max_iter=rounds)
+        res.components.count()
+        return res.iterations
     if job == "lpa_block":
         # the scale path (mirrors pagerank's block kernel): wall includes
         # the one-time symmetrize + CSR + slot-form build, same as the row
@@ -351,13 +360,13 @@ def main() -> None:
                     "N vs 4N executor proxy; see module docstring")
     ap.add_argument("--jobs", default="pagerank",
                     help="comma list: pagerank and/or fixpoint jobs "
-                    "(cc,lpa,lpa_block,bfs). Fixpoint jobs merge into "
+                    "(cc,cc_block,lpa,lpa_block,bfs). Fixpoint jobs merge into "
                     "BENCH_SCALING.json under fixpoint_suite.")
     ap.add_argument("--fixpoint-iters", type=int, default=8)
     args = ap.parse_args()
 
     jobs = [j.strip() for j in args.jobs.split(",") if j.strip()]
-    fixpoint_jobs = [j for j in jobs if j in ("cc", "lpa", "lpa_block", "bfs")]
+    fixpoint_jobs = [j for j in jobs if j in ("cc", "cc_block", "lpa", "lpa_block", "bfs")]
     if fixpoint_jobs:
         run_fixpoint_suite(fixpoint_jobs, args.n, args.multiplier,
                            args.fixpoint_iters, args.reps, args.sf_dir,
