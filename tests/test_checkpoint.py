@@ -79,3 +79,63 @@ def test_cc_resume_exact(spark, tmp_path):
     a = {r["id"]: r["comp"] for r in full.components.collect()}
     b = {r["id"]: r["comp"] for r in resumed.components.collect()}
     assert a == b
+
+
+def test_pagerank_block_resume_allclose(spark, tmp_path):
+    from webgraph_spark.algo.pagerank_block import pagerank_block
+
+    n = 80
+    arcs = er_arcs(n, 0.05, 4)
+    edges = spark.createDataFrame(arcs, "src long, dst long")
+    nodes = spark.range(n).selectExpr("id")
+    csr = build_csr(edges, num_blocks=3)
+
+    full = pagerank_block(spark, csr, nodes, tol=0.0, max_iter=20)
+    ck = CheckpointManager(spark, str(tmp_path / "prb"), run_id="b1")
+    pagerank_block(spark, csr, nodes, tol=0.0, max_iter=5, checkpointer=ck)
+    last = ck.latest_iteration()
+    assert last == 5
+    resumed = pagerank_block(
+        spark, csr, nodes, tol=0.0, max_iter=20,
+        initial_state=ck.load_iteration(last), start_iteration=last,
+    )
+    # fixed-iteration, no extrapolation: resume is bit-identical arithmetic
+    assert np.allclose(_vec(full.ranks, n), _vec(resumed.ranks, n), atol=0.0)
+    # lineage granularity = blocks: 3 state rows per iteration
+    lin = ck.lineage()
+    assert (lin.groupby("iteration")["row_count"].sum() == 3).all()
+
+
+def test_block_cc_and_lpa_resume_exact(spark, tmp_path):
+    from webgraph_spark.algo.components_block import hash_min_components_block
+    from webgraph_spark.algo.labelprop_block import label_propagation_block
+    from webgraph_spark.plans.partitioning import symmetrize_for_join
+
+    arcs = [(i, i + 1) for i in range(40)]
+    edges = spark.createDataFrame(arcs, "src long, dst long")
+    nodes = spark.createDataFrame([(i,) for i in range(41)], "id long")
+    csr = build_csr(symmetrize_for_join(edges, "src"), num_blocks=3)
+
+    full = hash_min_components_block(spark, csr, nodes, max_iter=50)
+    ck = CheckpointManager(spark, str(tmp_path / "ccb"), run_id="c1")
+    hash_min_components_block(spark, csr, nodes, max_iter=3, checkpointer=ck)
+    resumed = hash_min_components_block(
+        spark, csr, nodes, max_iter=50,
+        initial_state=ck.load_iteration(ck.latest_iteration()),
+        start_iteration=3,
+    )
+    a = {r["id"]: r["comp"] for r in full.components.collect()}
+    b = {r["id"]: r["comp"] for r in resumed.components.collect()}
+    assert a == b
+
+    lfull = label_propagation_block(spark, csr, nodes, max_iter=6)
+    ck2 = CheckpointManager(spark, str(tmp_path / "lpb"), run_id="l1")
+    label_propagation_block(spark, csr, nodes, max_iter=2, checkpointer=ck2)
+    lres = label_propagation_block(
+        spark, csr, nodes, max_iter=6,
+        initial_state=ck2.load_iteration(ck2.latest_iteration()),
+        start_iteration=2,
+    )
+    la = {r["id"]: r["label"] for r in lfull.labels.collect()}
+    lb = {r["id"]: r["label"] for r in lres.labels.collect()}
+    assert la == lb

@@ -65,6 +65,9 @@ def hash_min_components_block(
     csr_sym: CsrGraph,
     nodes: DataFrame,
     max_iter: int = 200,
+    checkpointer=None,
+    initial_state: DataFrame | None = None,
+    start_iteration: int = 0,
 ) -> ComponentsResult:
     """Hash-min CC over a CSR of the SYMMETRIZED loop-free graph.
 
@@ -98,11 +101,18 @@ def hash_min_components_block(
             }
         )
 
-    state = (
-        tagged.groupBy("block_id")
-        .applyInPandas(init_kernel, schema=_STATE_SCHEMA)
-        .transform(checkpoint_state)
-    )
+    if initial_state is not None:
+        # resume: the checkpointed block-state frame is the whole kernel
+        # state — no graph re-scan, no per-node re-init
+        state = initial_state.select(
+            "block_id", "lo", "hi", "mask", "comps", "block_changed"
+        ).transform(checkpoint_state)
+    else:
+        state = (
+            tagged.groupBy("block_id")
+            .applyInPandas(init_kernel, schema=_STATE_SCHEMA)
+            .transform(checkpoint_state)
+        )
     rng_bid, rng_lo = block_ranges(
         state.select("block_id", "lo", "hi").collect()
     )
@@ -136,8 +146,8 @@ def hash_min_components_block(
             }
         )
 
-    result = ComponentsResult(components=None, iterations=0)
-    for it in range(max_iter):
+    result = ComponentsResult(components=None, iterations=start_iteration)
+    for it in range(start_iteration, max_iter):
         t0 = time.monotonic()
         partials = (
             slotform.groupby("src_block")
@@ -155,8 +165,13 @@ def hash_min_components_block(
         changed = int(obs.get["c"] or 0)
         state = new_state
         result.changed_per_iter.append(changed)
-        result.iter_seconds.append(time.monotonic() - t0)
+        wall = time.monotonic() - t0
+        result.iter_seconds.append(wall)
         result.iterations = it + 1
+        if checkpointer is not None:
+            checkpointer.save_iteration(
+                state, it + 1, wall_s=wall, delta=float(changed)
+            )
         if changed == 0:
             break
     # the slot-form stays cached on csr_sym for the next block kernel run

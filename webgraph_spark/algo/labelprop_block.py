@@ -82,6 +82,9 @@ def label_propagation_block(
     nodes: DataFrame,
     max_iter: int = 20,
     initial: DataFrame | None = None,
+    checkpointer=None,
+    initial_state: DataFrame | None = None,
+    start_iteration: int = 0,
 ) -> LabelPropResult:
     """Synchronous LPA over a CSR of the SYMMETRIZED loop-free graph.
 
@@ -121,11 +124,18 @@ def label_propagation_block(
             }
         )
 
-    state = (
-        tagged.groupBy("block_id")
-        .applyInPandas(init_kernel, schema=_STATE_SCHEMA)
-        .transform(checkpoint_state)
-    )
+    if initial_state is not None:
+        # resume: the checkpointed block-state frame is the whole kernel
+        # state — no graph re-scan, no per-node re-init
+        state = initial_state.select(
+            "block_id", "lo", "hi", "mask", "labels", "block_changed"
+        ).transform(checkpoint_state)
+    else:
+        state = (
+            tagged.groupBy("block_id")
+            .applyInPandas(init_kernel, schema=_STATE_SCHEMA)
+            .transform(checkpoint_state)
+        )
     rng_bid, rng_lo = block_ranges(
         state.select("block_id", "lo", "hi").collect()
     )
@@ -167,8 +177,8 @@ def label_propagation_block(
             }
         )
 
-    result = LabelPropResult(labels=None, iterations=0)
-    for it in range(max_iter):
+    result = LabelPropResult(labels=None, iterations=start_iteration)
+    for it in range(start_iteration, max_iter):
         t0 = time.monotonic()
         partials = (
             slotform.groupby("src_block")
@@ -186,8 +196,13 @@ def label_propagation_block(
         changed = int(obs.get["c"] or 0)
         state = new_state
         result.changed_per_iter.append(changed)
-        result.iter_seconds.append(time.monotonic() - t0)
+        wall = time.monotonic() - t0
+        result.iter_seconds.append(wall)
         result.iterations = it + 1
+        if checkpointer is not None:
+            checkpointer.save_iteration(
+                state, it + 1, wall_s=wall, delta=float(changed)
+            )
         if changed == 0:
             break
     # the slot-form stays persisted: it lives in csr_sym._pair_slotform_cache

@@ -80,6 +80,9 @@ def pagerank_block(
     dense_threshold: float = 0.05,
     extrapolate: bool | int | None = None,
     precompute_slots: bool = True,
+    checkpointer=None,
+    initial_state: DataFrame | None = None,
+    start_iteration: int = 0,
 ) -> PageRankResult:
     """CSR block-vector PageRank to convergence (L1 delta < tol).
 
@@ -116,14 +119,6 @@ def pagerank_block(
         .persist()
     )
     blocks.count()
-    srcs = blocks.select(F.explode("srcs").alias("id")).distinct()
-    n_src = srcs.count()
-    flagged = (
-        nodes.select("id")
-        .join(srcs.withColumn("__has_out", F.lit(1.0)), "id", "left")
-        .na.fill({"__has_out": 0.0})
-        .withColumn("block_id", csr.node_block_id_col("id"))
-    )
 
     r0 = 1.0 / n
 
@@ -153,15 +148,36 @@ def pagerank_block(
             }
         )
 
-    state = (
-        flagged.groupBy("block_id")
-        .applyInPandas(init_kernel, schema=_STATE_SCHEMA)
-        .transform(checkpoint_state)
-    )
+    if initial_state is not None:
+        # resume: the checkpointed state frame IS the full kernel state —
+        # per-block rank/prev vectors plus the non-dangling mass column the
+        # next iteration's teleport term needs (no graph re-scan required)
+        state = initial_state.select(
+            "block_id", "lo", "hi", "mask", "has_out", "ranks", "prev",
+            "block_delta", "block_nd",
+        ).transform(checkpoint_state)
+        nd_row = state.agg(F.sum("block_nd").alias("nd")).collect()[0]
+        non_dangling = float(nd_row["nd"] or 0.0)
+    else:
+        srcs = blocks.select(F.explode("srcs").alias("id")).distinct()
+        n_src = srcs.count()
+        flagged = (
+            nodes.select("id")
+            .join(srcs.withColumn("__has_out", F.lit(1.0)), "id", "left")
+            .na.fill({"__has_out": 0.0})
+            .withColumn("block_id", csr.node_block_id_col("id"))
+        )
+        state = (
+            flagged.groupBy("block_id")
+            .applyInPandas(init_kernel, schema=_STATE_SCHEMA)
+            .transform(checkpoint_state)
+        )
+        non_dangling = None  # filled below once n_src is known
     ranges = _block_ranges(state.select("block_id", "lo", "hi").collect())
     rng_bid, rng_lo, rng_hi = ranges
     cuts = np.asarray(csr.cuts, dtype=np.int64)
-    non_dangling = n_src / n
+    if non_dangling is None:
+        non_dangling = n_src / n
 
     def spmv_kernel(blocks_tbl: "pa.Table", state_tbl: "pa.Table") -> "pa.Table":
         out_dstb: list[int] = []
@@ -361,10 +377,10 @@ def pagerank_block(
                 }
             )
 
-    result = PageRankResult(ranks=None, iterations=0)
+    result = PageRankResult(ranks=None, iterations=start_iteration)
     update_kernel = _update_kernel_factory(alpha)
     armed_at: int | None = None
-    for it in range(max_iter):
+    for it in range(start_iteration, max_iter):
         t0 = time.monotonic()
         dangling = 1.0 - non_dangling
         base = (1.0 - alpha) / n + alpha * dangling / n
@@ -429,8 +445,14 @@ def pagerank_block(
         non_dangling = float(agg["nd"] or 0.0)
         state = new_state
         result.deltas.append(delta)
-        result.iter_seconds.append(time.monotonic() - t0)
+        wall = time.monotonic() - t0
+        result.iter_seconds.append(wall)
         result.iterations = it + 1
+        if checkpointer is not None:
+            # the B-row block-state frame is the checkpoint: tiny writes,
+            # per-BLOCK lineage rows (partition granularity = the unit the
+            # kernel computes in), and resume needs no graph re-scan
+            checkpointer.save_iteration(state, it + 1, wall_s=wall, delta=delta)
         if delta < tol:
             result.converged = True
             break
