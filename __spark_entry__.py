@@ -838,12 +838,26 @@ def _q_labelprop(spark, sf_dir):
     )
 
 
-def _sym_csr(spark, sf_dir):
-    """Symmetrized CSR for the block fixpoint kernels (LPA/CC scale path)."""
+def _run_block_kernel(spark, sf_dir, kernel_fn):
+    """Symmetrized CSR -> block kernel -> released caches.
+
+    The symmetrized set is persisted across build_csr's three scans (count,
+    quantile cuts, encode); the kernel's output depends only on its eagerly
+    checkpointed state, so the sym cache AND the pair slot-form are dropped
+    before returning — repeated driver-query runs in one session must not
+    accumulate cached blocks."""
     from webgraph_spark.plans.partitioning import symmetrize_for_join
+    from webgraph_spark.plans.slotform import unpersist_pair_slotform
 
     e = _edges(spark, sf_dir)
-    return build_csr(symmetrize_for_join(e, "src"), num_blocks=8), _nodes(e)
+    sym = symmetrize_for_join(e, "src").persist()
+    try:
+        sym.count()
+        csr = build_csr(sym, num_blocks=8)
+        return kernel_fn(csr, _nodes(e))
+    finally:
+        unpersist_pair_slotform(csr)
+        sym.unpersist()
 
 
 def _q_labelprop_block(spark, sf_dir):
@@ -852,10 +866,13 @@ def _q_labelprop_block(spark, sf_dir):
     kernel's `labelprop`."""
     from webgraph_spark.algo.labelprop_block import label_propagation_block
 
-    csr, nodes = _sym_csr(spark, sf_dir)
-    return label_propagation_block(
-        spark, csr, nodes, max_iter=LPA_ITERS
-    ).labels.select("id", "label")
+    return _run_block_kernel(
+        spark,
+        sf_dir,
+        lambda csr, nodes: label_propagation_block(
+            spark, csr, nodes, max_iter=LPA_ITERS
+        ).labels.select("id", "label"),
+    )
 
 
 def _q_cc_block(spark, sf_dir):
@@ -863,9 +880,12 @@ def _q_cc_block(spark, sf_dir):
     the row kernel's `cc_components` (min node id per component)."""
     from webgraph_spark.algo.components_block import hash_min_components_block
 
-    csr, nodes = _sym_csr(spark, sf_dir)
-    return hash_min_components_block(spark, csr, nodes).components.select(
-        "id", "comp"
+    return _run_block_kernel(
+        spark,
+        sf_dir,
+        lambda csr, nodes: hash_min_components_block(
+            spark, csr, nodes
+        ).components.select("id", "comp"),
     )
 
 

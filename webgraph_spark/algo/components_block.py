@@ -39,7 +39,12 @@ from pyspark.sql import functions as F
 from webgraph_spark.algo.components import ComponentsResult
 from webgraph_spark.plans.csr import CsrGraph
 from webgraph_spark.plans.iterate import checkpoint_state
-from webgraph_spark.plans.slotform import block_ranges, build_pair_slotform
+from webgraph_spark.plans.slotform import (
+    block_ranges,
+    build_pair_slotform,
+    make_explode_kernel,
+    make_init_kernel,
+)
 
 _STATE_SCHEMA = (
     "block_id long, lo long, hi long, mask binary, comps binary, "
@@ -80,26 +85,11 @@ def hash_min_components_block(
         "block_id", csr_sym.node_block_id_col("id")
     )
 
-    def init_kernel(key, pdf):
-        import pandas as pd
-
-        ids = pdf["id"].to_numpy(np.int64)
-        lo, hi = int(ids.min()), int(ids.max())
-        width = hi - lo + 1
-        mask = np.zeros(width, dtype=np.int8)
-        comps = np.full(width, np.iinfo(np.int64).max, dtype=np.int64)
-        mask[ids - lo] = 1
-        comps[ids - lo] = ids
-        return pd.DataFrame(
-            {
-                "block_id": [int(key[0])],
-                "lo": [lo],
-                "hi": [hi],
-                "mask": [mask.tobytes()],
-                "comps": [comps.tobytes()],
-                "block_changed": [0],
-            }
-        )
+    tagged = tagged.withColumn("__val", F.col("id"))
+    init_kernel = make_init_kernel(
+        "comps",
+        ("block_id", "lo", "hi", "mask", "comps", "block_changed"),
+    )
 
     if initial_state is not None:
         # resume: the checkpointed block-state frame is the whole kernel
@@ -113,10 +103,12 @@ def hash_min_components_block(
             .applyInPandas(init_kernel, schema=_STATE_SCHEMA)
             .transform(checkpoint_state)
         )
-    rng_bid, rng_lo = block_ranges(
+    rng_bid, rng_lo, rng_hi = block_ranges(
         state.select("block_id", "lo", "hi").collect()
     )
-    slotform = build_pair_slotform(csr_sym, rng_bid, rng_lo, shuffle_parts)
+    slotform = build_pair_slotform(
+        csr_sym, rng_bid, rng_lo, rng_hi, shuffle_parts
+    )
 
     def gather_kernel(slot_tbl: "pa.Table", state_tbl: "pa.Table") -> "pa.Table":
         out_dstb: list[int] = []
@@ -176,26 +168,8 @@ def hash_min_components_block(
             break
     # the slot-form stays cached on csr_sym for the next block kernel run
 
-    def explode_kernel(batches):
-        for batch in batches:
-            for i in range(batch.num_rows):
-                lo = batch.column("lo")[i].as_py()
-                mask = np.frombuffer(
-                    batch.column("mask")[i].as_py(), dtype=np.int8
-                )
-                comps = np.frombuffer(
-                    batch.column("comps")[i].as_py(), dtype=np.int64
-                )
-                live = np.flatnonzero(mask)
-                yield pa.RecordBatch.from_pydict(
-                    {
-                        "id": pa.array(live + lo, pa.int64()),
-                        "comp": pa.array(comps[live], pa.int64()),
-                    }
-                )
-
     result.components = state.mapInArrow(
-        explode_kernel, schema="id long, comp long"
+        make_explode_kernel("comps", "comp"), schema="id long, comp long"
     )
     return result
 
@@ -215,6 +189,7 @@ _ARROW_STATE = pa.schema(
 def _update_kernel(parts_tbl: "pa.Table", state_tbl: "pa.Table") -> "pa.Table":
     if state_tbl.num_rows == 0:
         return pa.table({f.name: pa.array([], f.type) for f in _ARROW_STATE})
+    mask = np.frombuffer(state_tbl.column("mask")[0].as_py(), dtype=np.int8)
     old = np.frombuffer(state_tbl.column("comps")[0].as_py(), dtype=np.int64)
     new = old
     changed = 0
@@ -238,7 +213,7 @@ def _update_kernel(parts_tbl: "pa.Table", state_tbl: "pa.Table") -> "pa.Table":
             u_slots, u_mins = _min_per_slot(slots, mins)
             new = old.copy()
             new[u_slots] = np.minimum(old[u_slots], u_mins)
-            changed = int(np.count_nonzero(new != old))
+            changed = int(np.count_nonzero((new != old) & (mask > 0)))
     return pa.table(
         {
             "block_id": state_tbl.column("block_id"),

@@ -49,7 +49,12 @@ from pyspark.sql import functions as F
 from webgraph_spark.algo.labelprop import LabelPropResult
 from webgraph_spark.plans.csr import CsrGraph
 from webgraph_spark.plans.iterate import checkpoint_state
-from webgraph_spark.plans.slotform import block_ranges, build_pair_slotform
+from webgraph_spark.plans.slotform import (
+    block_ranges,
+    build_pair_slotform,
+    make_explode_kernel,
+    make_init_kernel,
+)
 
 _STATE_SCHEMA = (
     "block_id long, lo long, hi long, mask binary, labels binary, "
@@ -98,31 +103,20 @@ def label_propagation_block(
         "block_id", csr_sym.node_block_id_col("id")
     )
     if initial is not None:
+        # nodes missing from a partial `initial` keep their id as the label
+        # (the row kernel's rule); without the coalesce the NULL would cast
+        # to INT64_MIN in the kernel and win every min tie-break
         tagged = tagged.join(initial.select("id", "label"), "id", "left")
-    else:
-        tagged = tagged.withColumn("label", F.col("id"))
-
-    def init_kernel(key, pdf):
-        import pandas as pd
-
-        ids = pdf["id"].to_numpy(np.int64)
-        labs = pdf["label"].to_numpy(np.int64)
-        lo, hi = int(ids.min()), int(ids.max())
-        width = hi - lo + 1
-        mask = np.zeros(width, dtype=np.int8)
-        labels = np.zeros(width, dtype=np.int64)
-        mask[ids - lo] = 1
-        labels[ids - lo] = labs
-        return pd.DataFrame(
-            {
-                "block_id": [int(key[0])],
-                "lo": [lo],
-                "hi": [hi],
-                "mask": [mask.tobytes()],
-                "labels": [labels.tobytes()],
-                "block_changed": [0],
-            }
+        tagged = tagged.withColumn(
+            "__val", F.coalesce(F.col("label"), F.col("id"))
         )
+    else:
+        tagged = tagged.withColumn("__val", F.col("id"))
+
+    init_kernel = make_init_kernel(
+        "labels",
+        ("block_id", "lo", "hi", "mask", "labels", "block_changed"),
+    )
 
     if initial_state is not None:
         # resume: the checkpointed block-state frame is the whole kernel
@@ -136,14 +130,16 @@ def label_propagation_block(
             .applyInPandas(init_kernel, schema=_STATE_SCHEMA)
             .transform(checkpoint_state)
         )
-    rng_bid, rng_lo = block_ranges(
+    rng_bid, rng_lo, rng_hi = block_ranges(
         state.select("block_id", "lo", "hi").collect()
     )
 
     # decode the varint CSR once into edge-aligned (src_slot, dst_slot)
     # int32 pairs per (src_block, dst_block) — shared with the block CC
     # kernel and cached on the CsrGraph for cross-algorithm reuse
-    slotform = build_pair_slotform(csr_sym, rng_bid, rng_lo, shuffle_parts)
+    slotform = build_pair_slotform(
+        csr_sym, rng_bid, rng_lo, rng_hi, shuffle_parts
+    )
 
     def vote_kernel(slot_tbl: "pa.Table", state_tbl: "pa.Table") -> "pa.Table":
         out_dstb: list[int] = []
@@ -208,25 +204,9 @@ def label_propagation_block(
     # the slot-form stays persisted: it lives in csr_sym._pair_slotform_cache
     # for the next block kernel on this CsrGraph (CC, or another LPA run)
 
-    def explode_kernel(batches):
-        for batch in batches:
-            for i in range(batch.num_rows):
-                lo = batch.column("lo")[i].as_py()
-                mask = np.frombuffer(
-                    batch.column("mask")[i].as_py(), dtype=np.int8
-                )
-                labels = np.frombuffer(
-                    batch.column("labels")[i].as_py(), dtype=np.int64
-                )
-                live = np.flatnonzero(mask)
-                yield pa.RecordBatch.from_pydict(
-                    {
-                        "id": pa.array(live + lo, pa.int64()),
-                        "label": pa.array(labels[live], pa.int64()),
-                    }
-                )
-
-    result.labels = state.mapInArrow(explode_kernel, schema="id long, label long")
+    result.labels = state.mapInArrow(
+        make_explode_kernel("labels", "label"), schema="id long, label long"
+    )
     return result
 
 

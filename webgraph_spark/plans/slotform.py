@@ -11,6 +11,11 @@ caches it on the :class:`~webgraph_spark.plans.csr.CsrGraph` handle (same
 pattern as the PageRank kernel's weighted slot-form cache), so running LPA
 then CC on one symmetrized CSR pays the decode + shuffle a single time.
 
+Contract validated at build time: the state layout (derived from ``nodes``)
+must COVER every edge endpoint in the CSR — a slot outside its block's
+[lo, hi] range would wrap around the state vector and silently corrupt the
+gather, so the builder raises instead.
+
 Cache memory is ~8 bytes/edge (two int32 per edge) — the same memory-for-CPU
 trade the PageRank slot-form documents; it is dropped with the CsrGraph or
 via ``unpersist_pair_slotform``.
@@ -29,26 +34,89 @@ PAIR_SLOTFORM_SCHEMA = (
 )
 
 
-def block_ranges(state_rows) -> tuple[np.ndarray, np.ndarray]:
-    """Sorted (block_ids, lo) arrays from collected state rows."""
+def block_ranges(state_rows) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Sorted (block_ids, lo, hi) arrays from collected state rows."""
     bid = np.array([r["block_id"] for r in state_rows], dtype=np.int64)
     lo = np.array([r["lo"] for r in state_rows], dtype=np.int64)
+    hi = np.array([r["hi"] for r in state_rows], dtype=np.int64)
     order = np.argsort(bid)
-    return bid[order], lo[order]
+    return bid[order], lo[order], hi[order]
+
+
+def make_init_kernel(vec_col: str, state_schema_cols: tuple[str, ...]):
+    """applyInPandas init kernel: per-block dense int64 state vector.
+
+    Input pdf columns: ``id`` plus ``__val`` (the node's initial value for
+    ``vec_col``). Gap slots (ids in [lo, hi] absent from the input) are
+    masked out and their vector cells left at 0 — every consumer filters on
+    the mask.
+    """
+
+    def init_kernel(key, pdf):
+        import pandas as pd
+
+        ids = pdf["id"].to_numpy(np.int64)
+        vals = pdf["__val"].to_numpy(np.int64)
+        lo, hi = int(ids.min()), int(ids.max())
+        width = hi - lo + 1
+        mask = np.zeros(width, dtype=np.int8)
+        vec = np.zeros(width, dtype=np.int64)
+        mask[ids - lo] = 1
+        vec[ids - lo] = vals
+        row = {
+            "block_id": [int(key[0])],
+            "lo": [lo],
+            "hi": [hi],
+            "mask": [mask.tobytes()],
+            vec_col: [vec.tobytes()],
+            "block_changed": [0],
+        }
+        return pd.DataFrame({c: row[c] for c in state_schema_cols})
+
+    return init_kernel
+
+
+def make_explode_kernel(vec_col: str, out_col: str):
+    """mapInArrow kernel: dense block state -> (id, out_col) rows for the
+    masked (live) slots."""
+
+    def explode_kernel(batches):
+        for batch in batches:
+            for i in range(batch.num_rows):
+                lo = batch.column("lo")[i].as_py()
+                mask = np.frombuffer(
+                    batch.column("mask")[i].as_py(), dtype=np.int8
+                )
+                vec = np.frombuffer(
+                    batch.column(vec_col)[i].as_py(), dtype=np.int64
+                )
+                live = np.flatnonzero(mask)
+                yield pa.RecordBatch.from_pydict(
+                    {
+                        "id": pa.array(live + lo, pa.int64()),
+                        out_col: pa.array(vec[live], pa.int64()),
+                    }
+                )
+
+    return explode_kernel
 
 
 def build_pair_slotform(
     csr: CsrGraph,
     rng_bid: np.ndarray,
     rng_lo: np.ndarray,
+    rng_hi: np.ndarray,
     shuffle_parts: int,
 ) -> DataFrame:
     """Decode ``csr`` into the cached pair slot-form (persisted, counted).
 
-    ``rng_bid``/``rng_lo`` are the sorted block ids and range lower bounds of
-    the state layout (``block_ranges``); slots are relative to those bounds.
+    ``rng_bid``/``rng_lo``/``rng_hi`` are the sorted block ids and range
+    bounds of the state layout (``block_ranges``); slots are relative to
+    those bounds. Raises ``ValueError`` if any edge endpoint falls outside
+    its block's state range (the ``nodes`` frame must cover every endpoint).
     Reuses a previously built slot-form for the same (layout, width) via a
-    cache on the CsrGraph handle.
+    cache on the CsrGraph handle; a superseded cache entry is unpersisted
+    before being replaced.
     """
     cache_key = (shuffle_parts, rng_bid.tobytes(), rng_lo.tobytes())
     cached = getattr(csr, "_pair_slotform_cache", None)
@@ -78,8 +146,17 @@ def build_pair_slotform(
                 b_src = int(bid_col[i].as_py())
                 pos = int(np.searchsorted(rng_bid, b_src))
                 if pos >= rng_bid.size or rng_bid[pos] != b_src:
-                    continue  # block range holds no real nodes
-                lo = int(rng_lo[pos])
+                    raise ValueError(
+                        f"CSR block {b_src} has edges but no state range — "
+                        "the nodes frame must cover every edge endpoint"
+                    )
+                lo, hi = int(rng_lo[pos]), int(rng_hi[pos])
+                if srcs.size and (srcs[0] < lo or srcs[-1] > hi):
+                    raise ValueError(
+                        f"source ids [{srcs[0]}, {srcs[-1]}] outside state "
+                        f"range [{lo}, {hi}] of block {b_src} — the nodes "
+                        "frame must cover every edge endpoint"
+                    )
                 d = np.diff(indptr)
                 src_slot = (np.repeat(srcs, d) - lo).astype(np.int32)
                 dblk = np.searchsorted(cuts, succs, side="left")
@@ -87,13 +164,24 @@ def build_pair_slotform(
                     sel = dblk == b
                     pos2 = int(np.searchsorted(rng_bid, b))
                     if pos2 >= rng_bid.size or rng_bid[pos2] != b:
-                        continue
-                    blo = int(rng_lo[pos2])
+                        raise ValueError(
+                            f"destination block {b} has edges but no state "
+                            "range — the nodes frame must cover every edge "
+                            "endpoint"
+                        )
+                    blo, bhi = int(rng_lo[pos2]), int(rng_hi[pos2])
+                    dsel = succs[sel]
+                    if dsel.min() < blo or dsel.max() > bhi:
+                        raise ValueError(
+                            f"destination ids outside state range "
+                            f"[{blo}, {bhi}] of block {b} — the nodes frame "
+                            "must cover every edge endpoint"
+                        )
                     out["src_block"].append(b_src)
                     out["dst_block"].append(int(b))
                     out["src_slot"].append(src_slot[sel].tobytes())
                     out["dst_slot"].append(
-                        (succs[sel] - blo).astype(np.int32).tobytes()
+                        (dsel - blo).astype(np.int32).tobytes()
                     )
             yield pa.RecordBatch.from_pydict(
                 {
@@ -118,6 +206,8 @@ def build_pair_slotform(
     )
     slotform.count()
     blocks.unpersist()
+    if cached is not None:
+        cached[1].unpersist()  # superseded layout: do not orphan its cache
     csr._pair_slotform_cache = (cache_key, slotform)
     return slotform
 
