@@ -25,6 +25,18 @@ kept at exactly 50 by folding sibling operators into one result frame
   all-pairs join; ``cosine_topk`` keeps the exact brute baseline in bounded
   form, ``cosine_topk_lsh`` is the scale path)
 
+Round-3 folds (same rule — the round-2 additions pushed the surface to 55,
+so five sibling pairs were merged; every fold keeps BOTH oracles, unioned
+under a tag column):
+
+- ``check_symmetry``          → ``graph_stats`` (row ``asym_arcs``)
+- ``has_arcs``                → ``csr_roundtrip`` (tag column ``part``)
+- ``cosin_roundtrip``/``webbase_convert`` → ``legacy_roundtrip`` (tag ``fmt``)
+- ``labelprop_block``/``cc_block``        → ``block_kernels`` (tag ``kernel``)
+- ``labelled_compose``/``labelled_union`` → ``labelled_algebra`` (tag ``op``)
+- ``degree/key/lex/gray_permutation``     → ``permutations`` (tag ``kind``)
+- ``cosine_topk_lsh``/``cosine_topk_ivf`` → ``cosine_topk`` (tag ``method``)
+
 New in round 2: ``diameter_radius`` (exact SumSweep on the largest SCC),
 ``has_arcs`` (bulk CSR adjacency probes), ``gray_permutation``, a full
 DuckDB oracle for ``betweenness`` (unrolled Brandes), arithmetic corpus
@@ -803,15 +815,21 @@ def _q_graph_stats(spark, sf_dir):
         ],
         "metric string, value double",
     )
-    out = scalars.unionByName(gaps).unionByName(sccs).unionByName(gap_scalars)
+    # symmetry check (formerly the standalone ``check_symmetry`` query —
+    # ``Check.java:44-101``): count of arcs with no reverse twin
+    asym = (
+        e.join(T.transpose(e), ["src", "dst"], "left_anti")
+        .agg(F.count(F.lit(1)).cast("double").alias("value"))
+        .select(F.lit("asym_arcs").alias("metric"), "value")
+    )
+    out = (
+        scalars.unionByName(gaps)
+        .unionByName(sccs)
+        .unionByName(gap_scalars)
+        .unionByName(asym)
+    )
     e.unpersist()
     return out
-
-
-def _q_check_symmetry(spark, sf_dir):
-    e = _edges(spark, sf_dir)
-    asym = e.join(T.transpose(e), ["src", "dst"], "left_anti")
-    return asym.agg(F.count(F.lit(1)).alias("asym_arcs"))
 
 
 def _q_extract_largest_cc(spark, sf_dir):
@@ -860,33 +878,30 @@ def _run_block_kernel(spark, sf_dir, kernel_fn):
         sym.unpersist()
 
 
-def _q_labelprop_block(spark, sf_dir):
-    """Block-vector LPA kernel (the scale path — per-block dense label
-    vectors, lexsort vote combining); same semantics and oracle as the row
-    kernel's `labelprop`."""
+def _q_block_kernels(spark, sf_dir):
+    """Both block-vector fixpoint kernels — the 100-TB scale path — in one
+    frame tagged by ``kernel`` (formerly the standalone ``labelprop_block``
+    and ``cc_block`` queries): LPA (per-block dense label vectors, lexsort
+    vote combining) and hash-min CC. Same semantics and oracles as the row
+    kernels' ``labelprop`` / ``cc_components``."""
+    from webgraph_spark.algo.components_block import hash_min_components_block
     from webgraph_spark.algo.labelprop_block import label_propagation_block
 
-    return _run_block_kernel(
+    lpa = _run_block_kernel(
         spark,
         sf_dir,
         lambda csr, nodes: label_propagation_block(
             spark, csr, nodes, max_iter=LPA_ITERS
         ).labels.select("id", "label"),
-    )
-
-
-def _q_cc_block(spark, sf_dir):
-    """Block-vector hash-min CC kernel (the scale path); same fixpoint as
-    the row kernel's `cc_components` (min node id per component)."""
-    from webgraph_spark.algo.components_block import hash_min_components_block
-
-    return _run_block_kernel(
+    ).select(F.lit("lpa").alias("kernel"), "id", F.col("label").alias("value"))
+    cc = _run_block_kernel(
         spark,
         sf_dir,
         lambda csr, nodes: hash_min_components_block(
             spark, csr, nodes
         ).components.select("id", "comp"),
-    )
+    ).select(F.lit("cc").alias("kernel"), "id", F.col("comp").alias("value"))
+    return lpa.unionByName(cc)
 
 
 def _q_pagerank_edges(spark, sf_dir):
@@ -1005,10 +1020,19 @@ def _q_diameter_radius(spark, sf_dir):
     )
 
 
-def _q_has_arcs(spark, sf_dir):
-    """Bulk adjacency probes against the CSR blocks (EFGraph ``skipTo``)."""
+def _q_csr_roundtrip(spark, sf_dir):
+    """CSR encode→decode round-trip PLUS bulk adjacency probes against the
+    same blocks (EFGraph ``skipTo``; formerly the standalone ``has_arcs``
+    query) in one frame tagged by ``part`` — decoded arcs exist by
+    construction, probe rows answer membership from the CSR payload."""
     e = _edges(spark, sf_dir)
     csr = build_csr(e, num_blocks=8)
+    arcs = csr_to_edges(csr.blocks).select(
+        F.lit("roundtrip").alias("part"),
+        "src",
+        "dst",
+        F.lit(True).alias("exists"),
+    )
     probes = (
         _lineitem(spark, sf_dir)
         .select(
@@ -1017,11 +1041,10 @@ def _q_has_arcs(spark, sf_dir):
         )
         .distinct()
     )
-    return csr_has_arcs(csr, probes)
-
-
-def _q_csr_roundtrip(spark, sf_dir):
-    return csr_to_edges(build_csr(_edges(spark, sf_dir), num_blocks=8).blocks)
+    pr = csr_has_arcs(csr, probes).select(
+        F.lit("probe").alias("part"), "src", "dst", "exists"
+    )
+    return arcs.unionByName(pr)
 
 
 def _q_text_roundtrip(spark, sf_dir):
@@ -1065,7 +1088,7 @@ def _q_text_roundtrip(spark, sf_dir):
     )
 
 
-def _q_cosin_roundtrip(spark, sf_dir):
+def _cosin_arcs(spark, sf_dir):
     """COSIN legacy binary round-trip (``cosin/CosinGraph.java:48-190``):
     write the driver edge set into the fixed-width ``.info``/``.succ`` pair,
     read it back with the distributed two-pass range reader, return the
@@ -1088,7 +1111,7 @@ def _q_cosin_roundtrip(spark, sf_dir):
     return back.select("src", "dst")
 
 
-def _q_webbase_convert(spark, sf_dir):
+def _webbase_arcs(spark, sf_dir):
     """WebBase crawl-dump conversion (``c/webbase.c:20-87`` +
     ``webbase/Hasher.java:55-80`` + ``webbase/Converter.java:100-160``):
     synthesize a dump from the supplier table with every filter case planted
@@ -1147,6 +1170,20 @@ def _q_webbase_convert(spark, sf_dir):
     return edges.select("src", "dst")
 
 
+def _q_legacy_roundtrip(spark, sf_dir):
+    """Both legacy converters (formerly the standalone ``cosin_roundtrip``
+    and ``webbase_convert`` queries) in one frame tagged by ``fmt``."""
+    return (
+        _cosin_arcs(spark, sf_dir)
+        .select(F.lit("cosin").alias("fmt"), "src", "dst")
+        .unionByName(
+            _webbase_arcs(spark, sf_dir).select(
+                F.lit("webbase").alias("fmt"), "src", "dst"
+            )
+        )
+    )
+
+
 def _q_labelled_merge(spark, sf_dir):
     """Both labelled merge families in one tagged frame: the aggregate
     strategy (min) and the fork's DEFAULT keep-last
@@ -1172,9 +1209,32 @@ def _q_labelled_merge(spark, sf_dir):
     return mn.unionByName(last).select("strategy", "src", "dst", "label")
 
 
-def _q_labelled_compose(spark, sf_dir):
+def _q_labelled_algebra(spark, sf_dir):
+    """Labelled-graph algebra in one frame tagged by ``op`` (formerly the
+    standalone ``labelled_compose`` and ``labelled_union`` queries):
+
+    - ``compose``: (min, +) semiring composition of the min-merged labelled
+      graph with itself (``Transform.java:2200-2350``).
+    - ``union``: union of two overlapping labelled graphs (lineitem split by
+      line number), coincident arcs merged with max — composite semantics
+      the plain min-merge of the whole table cannot reproduce
+      (``labelling/UnionArcLabelledImmutableGraph.java:47``)."""
     lab = merge_duplicate_arcs(_labelled(spark, sf_dir), "min")
-    return compose_semiring(lab, lab)  # (min, +) semiring
+    comp = compose_semiring(lab, lab).select(  # (min, +) semiring
+        F.lit("compose").alias("op"), "src", "dst", "label"
+    )
+    split = _lineitem(spark, sf_dir).select(
+        F.col("l_suppkey").cast("long").alias("src"),
+        (F.col("l_partkey") % 120).cast("long").alias("dst"),
+        F.col("l_quantity").cast("long").alias("label"),
+        F.col("l_linenumber").alias("ln"),
+    )
+    g0 = merge_duplicate_arcs(split.filter(F.col("ln") <= 3).drop("ln"), "min")
+    g1 = merge_duplicate_arcs(split.filter(F.col("ln") > 3).drop("ln"), "min")
+    uni = union_labelled(g0, g1, "max").select(
+        F.lit("union").alias("op"), "src", "dst", "label"
+    )
+    return comp.unionByName(uni)
 
 
 def _q_host_map(spark, sf_dir):
@@ -1318,22 +1378,6 @@ def _q_personalized_pagerank(spark, sf_dir):
         spark, csr, nodes, sources, alpha=ALPHA, tol=0.0, max_iter=PR_ITERS
     )
     return res.ranks.select("id", F.round("rank", 9).alias("rank"))
-
-
-def _q_labelled_union(spark, sf_dir):
-    """Union of two overlapping labelled graphs (lineitem split by line
-    number), coincident arcs merged with max — composite semantics the
-    plain min-merge of the whole table cannot reproduce
-    (``labelling/UnionArcLabelledImmutableGraph.java:47``)."""
-    lab = _lineitem(spark, sf_dir).select(
-        F.col("l_suppkey").cast("long").alias("src"),
-        (F.col("l_partkey") % 120).cast("long").alias("dst"),
-        F.col("l_quantity").cast("long").alias("label"),
-        F.col("l_linenumber").alias("ln"),
-    )
-    g0 = merge_duplicate_arcs(lab.filter(F.col("ln") <= 3).drop("ln"), "min")
-    g1 = merge_duplicate_arcs(lab.filter(F.col("ln") > 3).drop("ln"), "min")
-    return union_labelled(g0, g1, "max")
 
 
 def _q_cosine_topk(spark, sf_dir):
@@ -1669,12 +1713,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_graphs": _q_union,
         "node_class_filter": _q_node_class_filter,
         "graph_stats": _q_graph_stats,
-        "check_symmetry": _q_check_symmetry,
         "extract_largest_cc": _q_extract_largest_cc,
         "cc_components": _q_cc,
         "labelprop": _q_labelprop,
-        "labelprop_block": _q_labelprop_block,
-        "cc_block": _q_cc_block,
+        "block_kernels": _q_block_kernels,
         "pagerank_edges": _q_pagerank_edges,
         "pagerank_csr": _q_pagerank_csr,
         "pagerank_weighted": _q_pagerank_weighted,
@@ -1685,14 +1727,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geometric_centralities": _q_geometric,
         "betweenness": _q_betweenness,
         "diameter_radius": _q_diameter_radius,
-        "has_arcs": _q_has_arcs,
         "csr_roundtrip": _q_csr_roundtrip,
         "text_roundtrip": _q_text_roundtrip,
-        "cosin_roundtrip": _q_cosin_roundtrip,
-        "webbase_convert": _q_webbase_convert,
+        "legacy_roundtrip": _q_legacy_roundtrip,
         "labelled_merge": _q_labelled_merge,
-        "labelled_compose": _q_labelled_compose,
-        "labelled_union": _q_labelled_union,
+        "labelled_algebra": _q_labelled_algebra,
         "k_core": _q_k_core,
         "hits": _q_hits,
         "clustering": _q_clustering,
@@ -1827,14 +1866,11 @@ SELECT metric, value FROM (
     ROUND((SELECT avg_locality FROM loc), 6)
   UNION ALL SELECT 'avg_gap', (SELECT ROUND(avg_gap, 6) FROM gp)
   UNION ALL SELECT 'avg_first_gap', (SELECT ROUND(avg_first_gap, 6) FROM gp)
+  UNION ALL SELECT 'asym_arcs', CAST((SELECT count(*) FROM edges e
+    WHERE NOT EXISTS (SELECT 1 FROM edges r
+    WHERE r.src = e.dst AND r.dst = e.src)) AS DOUBLE)
 ) u""",
             recursive=True,
-        ),
-        "check_symmetry": _with(
-            EDGES_CTE,
-            select="SELECT count(*) AS asym_arcs FROM edges e "
-            "WHERE NOT EXISTS (SELECT 1 FROM edges r "
-            "WHERE r.src = e.dst AND r.dst = e.src)",
         ),
         "extract_largest_cc": _with(
             *_CC_CTES,
@@ -1857,9 +1893,15 @@ SELECT metric, value FROM (
             recursive=True,
         ),
         "labelprop": _lpa_sql(LPA_ITERS),
-        "labelprop_block": _lpa_sql(LPA_ITERS),
-        "cc_block": _with(
-            *_CC_CTES, select="SELECT id, comp FROM comps", recursive=True
+        # both block kernels replay the row kernels' oracles, tagged and
+        # nested as subqueries (DuckDB allows WITH [RECURSIVE] in a derived
+        # table, so the two CTE namespaces cannot clash)
+        "block_kernels": (
+            "SELECT 'lpa' AS kernel, id, label AS value FROM ("
+            + _lpa_sql(LPA_ITERS)
+            + ") l UNION ALL SELECT 'cc', id, comp FROM ("
+            + _with(*_CC_CTES, select="SELECT id, comp FROM comps", recursive=True)
+            + ") c"
         ),
         "pagerank_edges": _pagerank_sql(PR_ITERS),
         "pagerank_csr": _pagerank_sql(PR_ITERS),
@@ -1935,14 +1977,15 @@ SELECT metric, value FROM (
             "CAST(min(e) AS BIGINT) AS radius FROM ecc",
             recursive=True,
         ),
-        "has_arcs": _with(
+        "csr_roundtrip": _with(
             EDGES_CTE,
             "probes AS (SELECT DISTINCT l_suppkey AS src, "
             "(l_partkey * 7 + 3) % 120 AS dst FROM lineitem)",
-            select="SELECT p.src, p.dst, EXISTS (SELECT 1 FROM edges e "
-            "WHERE e.src = p.src AND e.dst = p.dst) AS exists FROM probes p",
+            select="SELECT 'roundtrip' AS part, src, dst, TRUE AS exists "
+            "FROM edges UNION ALL "
+            "SELECT 'probe', p.src, p.dst, EXISTS (SELECT 1 FROM edges e "
+            "WHERE e.src = p.src AND e.dst = p.dst) FROM probes p",
         ),
-        "csr_roundtrip": _with(EDGES_CTE, select="SELECT src, dst FROM edges"),
         "text_roundtrip": _with(
             EDGES_CTE,
             NODES_CTE,
@@ -1953,10 +1996,8 @@ SELECT metric, value FROM (
             "UNION ALL SELECT 'scattered', ms.nid, md.nid FROM edges e "
             "JOIN m ms ON ms.id = e.src JOIN m md ON md.id = e.dst",
         ),
-        "cosin_roundtrip": _with(
-            EDGES_CTE, select="SELECT src, dst FROM edges"
-        ),
-        "webbase_convert": _with(
+        "legacy_roundtrip": _with(
+            EDGES_CTE,
             "nn AS (SELECT count(*) AS c FROM supplier)",
             "pages AS (SELECT s_suppkey AS k, 'http://node' || "
             "lpad(CAST(s_suppkey AS VARCHAR), 5, '0') || '.test/' AS url "
@@ -1966,7 +2007,9 @@ SELECT metric, value FROM (
             "links AS (SELECT k, (k * 7) % (SELECT c FROM nn) + 1 AS t "
             "FROM pages UNION ALL "
             "SELECT k, (k * 13) % (SELECT c FROM nn) + 1 FROM pages)",
-            select="SELECT DISTINCT ms.id AS src, mt.id AS dst FROM links l "
+            select="SELECT 'cosin' AS fmt, src, dst FROM edges "
+            "UNION ALL "
+            "SELECT DISTINCT 'webbase', ms.id, mt.id FROM links l "
             "JOIN m ms ON ms.k = l.k JOIN m mt ON mt.k = l.t",
         ),
         "labelled_merge": "SELECT 'min' AS strategy, l_suppkey AS src, "
@@ -1980,22 +2023,21 @@ SELECT metric, value FROM (
         "(max(struct_pack(s := CAST(l_orderkey AS BIGINT) * 8 + "
         "l_linenumber, l := CAST(floor(l_quantity) AS BIGINT)))).l "
         "FROM lineitem GROUP BY 2, 3",
-        "labelled_compose": _with(
-            "lab AS (SELECT l_suppkey AS src, l_partkey % 120 AS dst, "
-            "min(CAST(floor(l_quantity) AS BIGINT)) AS label "
-            "FROM lineitem GROUP BY 1, 2)",
-            select="SELECT a.src, b.dst, min(a.label + b.label) AS label "
-            "FROM lab a JOIN lab b ON a.dst = b.src GROUP BY a.src, b.dst",
-        ),
-        "labelled_union": _with(
+        "labelled_algebra": _with(
             "lab AS (SELECT l_suppkey AS src, l_partkey % 120 AS dst, "
             "CAST(floor(l_quantity) AS BIGINT) AS label, l_linenumber AS ln "
             "FROM lineitem)",
+            "mrg AS (SELECT src, dst, min(label) AS label FROM lab "
+            "GROUP BY src, dst)",
             "g0 AS (SELECT src, dst, min(label) AS label FROM lab "
             "WHERE ln <= 3 GROUP BY src, dst)",
             "g1 AS (SELECT src, dst, min(label) AS label FROM lab "
             "WHERE ln > 3 GROUP BY src, dst)",
-            select="SELECT src, dst, max(label) AS label FROM "
+            select="SELECT 'compose' AS op, a.src, b.dst, "
+            "min(a.label + b.label) AS label "
+            "FROM mrg a JOIN mrg b ON a.dst = b.src GROUP BY a.src, b.dst "
+            "UNION ALL "
+            "SELECT 'union', src, dst, max(label) FROM "
             "(SELECT * FROM g0 UNION ALL SELECT * FROM g1) u "
             "GROUP BY src, dst",
         ),
