@@ -138,3 +138,55 @@ def test_wav_roundtrip_property(n, seed):
     samples = np.random.RandomState(seed).randint(0, 256, n, dtype=np.uint8)
     out, _ = decode_wav(encode_wav(samples))
     assert np.array_equal(out, samples)
+
+
+def test_resize_media_spark(spark):
+    from webgraph_spark.functions.multimodal import resize_media
+
+    media = encode_media(synth_media(spark, n=12))
+    raw = {
+        r["media_id"]: r for r in synth_media(spark, n=12).collect()
+    }
+    resized = resize_media(media, out_w=6, out_h=4)
+    rows = {r["media_id"]: r for r in resized.collect()}
+    assert len(rows) == 12
+    for mid, r in rows.items():
+        arr = np.frombuffer(bytes(raw[mid]["payload"]), np.uint8)[:128]
+        src = arr.copy()
+        if len(src) < 128:
+            src = np.pad(src, (0, 128 - len(src)))
+        if r["kind"] == "image":
+            px = decode_png(bytes(r["payload"]))
+            assert px.shape == (4, 6)
+            # integer-exact nearest reference on the original 8x16 grid
+            full = src.reshape(8, 16)
+            ri = (np.arange(4) * 8) // 4
+            ci = (np.arange(6) * 16) // 6
+            assert np.array_equal(px, full[ri][:, ci])
+        elif r["kind"] == "audio":
+            samples, _ = decode_wav(bytes(r["payload"]))
+            idx = (np.arange(6, dtype=np.int64) * 128) // 6
+            assert np.array_equal(samples, src[idx])
+        else:
+            frames = decode_y4m(bytes(r["payload"]))
+            assert frames.shape == (mid % 7 + 1, 4, 6)
+
+
+def test_video_frame_sample_spark(spark):
+    from webgraph_spark.functions.multimodal import video_frame_sample
+
+    media = encode_media(synth_media(spark, n=12))
+    out = video_frame_sample(media, every_k=2).collect()
+    # only video rows survive; frame indices are 0, 2, 4, ...
+    by_mid = {}
+    for r in out:
+        by_mid.setdefault(r["media_id"], []).append(r)
+    for mid, rows in by_mid.items():
+        assert mid % 3 == 2  # synth_media kind cycle: video at id % 3 == 2
+        n_frames = mid % 7 + 1
+        assert sorted(r["frame_idx"] for r in rows) == list(
+            range(0, n_frames, 2)
+        )
+        for r in rows:
+            px = decode_png(bytes(r["frame_png"]))
+            assert px.shape == (8, 16)

@@ -11,7 +11,7 @@ semi-join are plain equi joins; AQE handles residual skew.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -98,20 +98,41 @@ def triangle_count_adjacency(edges: DataFrame) -> int:
     each recomputing the full symmetrize+orient subtree (measured at sf0.1
     on 24 cores: 12.4 s single-action vs 1.9 + 0.5 + 0.9 s materialized —
     the cache only dedupes work that finished before the next reader).
+
+    The dominant shuffle is NOT the edge rows but the per-edge successor
+    arrays: joining ``sv`` onto the edge list moves Σ_(u,v) |succ(u)| ids —
+    the wedge count in bytes. When the max node id fits in int32 (checked
+    for free on the materialization action via ``observe``) every id in
+    that shuffle is narrowed long→int, halving the hot shuffle volume and
+    executor array footprint. At 10^12-file scale node ids exceed int32 and
+    the kernel transparently stays on longs.
     """
-    o = _oriented(edges).persist()
-    adj = (
-        o.groupBy("src")
-        .agg(F.array_sort(F.collect_list("dst")).alias("succ"))
+    obs = Observation()
+    o = (
+        _oriented(edges)
+        .observe(obs, F.max(F.greatest("src", "dst")).alias("mx"))
         .persist()
     )
+    adj = None
     try:
         o.count()
+        mx = obs.get["mx"]
+        oc = o
+        if mx is not None and mx < 2**31:
+            oc = o.select(
+                F.col("src").cast("int").alias("src"),
+                F.col("dst").cast("int").alias("dst"),
+            )
+        adj = (
+            oc.groupBy("src")
+            .agg(F.array_sort(F.collect_list("dst")).alias("succ"))
+            .persist()
+        )
         adj.count()
         au = adj.select(F.col("src").alias("u"), F.col("succ").alias("su"))
         av = adj.select(F.col("src").alias("v"), F.col("succ").alias("sv"))
         per_edge = (
-            o.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+            oc.select(F.col("src").alias("u"), F.col("dst").alias("v"))
             .join(au, "u")
             .join(av, "v")  # v with no oriented successors closes no triangle
             .select(F.size(F.array_intersect("su", "sv")).alias("t"))
@@ -120,7 +141,8 @@ def triangle_count_adjacency(edges: DataFrame) -> int:
         return int(row["total"] or 0)
     finally:
         o.unpersist()
-        adj.unpersist()
+        if adj is not None:
+            adj.unpersist()
 
 
 def local_clustering_coefficient(edges: DataFrame) -> DataFrame:

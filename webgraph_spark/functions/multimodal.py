@@ -1,7 +1,7 @@
 """Multimodal column plumbing: binary payloads + typed metadata.
 
 Training-data pipeline operators (no reference counterpart). Media are
-opaque ``binary`` columns with typed metadata; encode / decode /
+opaque ``binary`` columns with typed metadata; encode / decode / resize /
 feature-extract / frame-sample run as Arrow-batched ``mapInPandas``
 kernels over real container formats — PNG for images, RIFF/WAVE PCM for
 audio, YUV4MPEG2 for video — implemented dependency-free in
@@ -197,6 +197,93 @@ def byte_histogram_features(df: DataFrame, bins: int = 16) -> DataFrame:
             yield pd.DataFrame({"media_id": pdf["media_id"], "features": feats})
 
     return widen_small_input(df).mapInPandas(kernel, schema=FEATURE_SCHEMA)
+
+
+def resize_media(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """REAL resize stage: decode the container, nearest-neighbor resample to
+    ``(out_h, out_w)``, re-encode the same container format.
+
+    - ``image``: PNG → pixel grid → PNG at the new dimensions;
+    - ``video``: Y4M → every frame resampled → Y4M (frame count preserved);
+    - ``audio``: WAV → the 1-D analogue (nearest resample to ``out_w``
+      samples) → WAV.
+
+    Nearest-neighbor uses integer-exact index math (``src = i*len//out``,
+    no float rounding), so results are bit-deterministic across engines and
+    replayable by an oracle. Input/output schema is :data:`MEDIA_SCHEMA`;
+    the per-batch work is pure numpy fancy-indexing (no per-pixel Python).
+    """
+
+    def _nn(px: np.ndarray, oh: int, ow: int) -> np.ndarray:
+        h, w = px.shape[:2]
+        ri = (np.arange(oh, dtype=np.int64) * h) // oh
+        ci = (np.arange(ow, dtype=np.int64) * w) // ow
+        return px[ri][:, ci]
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_payload, ws, hs = [], [], []
+            for kind, b in zip(pdf["kind"], pdf["payload"]):
+                if kind == "image":
+                    px = _nn(decode_png(bytes(b)), out_h, out_w)
+                    out_payload.append(encode_png(px))
+                    ws.append(out_w)
+                    hs.append(out_h)
+                elif kind == "audio":
+                    samples, rate = decode_wav(bytes(b))
+                    if len(samples) == 0:
+                        samples = np.zeros(1, dtype=np.uint8)
+                    idx = (np.arange(out_w, dtype=np.int64) * len(samples)) // out_w
+                    out_payload.append(encode_wav(samples[idx], rate))
+                    ws.append(out_w)
+                    hs.append(1)
+                else:
+                    frames = decode_y4m(bytes(b))
+                    rs = np.stack([_nn(f, out_h, out_w) for f in frames])
+                    out_payload.append(encode_y4m(rs))
+                    ws.append(out_w)
+                    hs.append(out_h)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": out_payload,
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                }
+            )
+
+    return widen_small_input(df).mapInPandas(kernel, schema=MEDIA_SCHEMA)
+
+
+def video_frame_sample(df: DataFrame, every_k: int = 2) -> DataFrame:
+    """REAL frame sampler: parse the Y4M container, keep every ``k``-th
+    frame, emit one row per kept frame with the frame re-encoded as a gray
+    PNG — the explode-shaped stage a video pipeline feeds to a per-frame
+    model. Non-video rows are filtered Spark-side (predicate pushes to the
+    scan) so the Python kernel never sees them."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mids, idxs, pngs = [], [], []
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                frames = decode_y4m(bytes(b))
+                for fi in range(0, frames.shape[0], every_k):
+                    mids.append(mid)
+                    idxs.append(fi)
+                    pngs.append(encode_png(frames[fi]))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(mids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_png": pngs,
+                }
+            )
+
+    vids = df.filter(F.col("kind") == "video")
+    return widen_small_input(vids).mapInPandas(
+        kernel, schema="media_id long, frame_idx int, frame_png binary"
+    )
 
 
 def frame_sample(df: DataFrame, every_n_bytes: int = 32) -> DataFrame:
