@@ -86,7 +86,9 @@ from webgraph_spark.functions.multimodal import (
     byte_histogram_features,
     decode_media,
     encode_media,
+    resize_media,
     synth_media,
+    video_frame_sample,
 )
 from webgraph_spark.functions.similarity import (
     cosine_neardup_pairs,
@@ -1678,14 +1680,54 @@ def _q_media_features(spark, sf_dir):
     reconstructions, RIFF parse, frame walk). The oracle regenerates the
     payload bytes from the sha256 hex and computes the decoded statistics
     directly — so a hash match proves decode(encode(x)) == x through the
-    real containers, not just plumbing."""
+    real containers, not just plumbing.
+
+    Also covers the two derived stages: ``resize_media`` to (4, 6) —
+    ``rs_bytes``/``rs_mean`` are the decoded sample count and mean AFTER
+    nearest-neighbor resample + re-encode (the oracle replays the
+    integer-exact index math, including the per-frame roll offsets of the
+    video payloads) — and ``video_frame_sample`` every_k=2 —
+    ``vfs_frames`` checks the sampling arithmetic, ``vfs_mean`` that the
+    frame → PNG → decode round trip preserves the byte population."""
     media = synth_media(spark, n=48)
-    decoded = decode_media(encode_media(media))
+    enc = encode_media(media)
+    decoded = decode_media(enc)
     feats = byte_histogram_features(media, bins=16)
-    return decoded.join(feats, "media_id").select(
-        "media_id", "kind", "n_bytes", "frames",
-        F.round("mean_byte", 6).alias("mean_byte"),
-        F.round(F.element_at("features", 1), 6).alias("f0"),
+    rs = decode_media(resize_media(enc, out_w=6, out_h=4)).select(
+        "media_id",
+        F.col("n_bytes").alias("rs_bytes"),
+        F.round("mean_byte", 6).alias("rs_mean"),
+    )
+    vstat = (
+        decode_media(
+            video_frame_sample(enc, every_k=2).select(
+                "media_id",
+                F.lit("image").alias("kind"),
+                F.col("frame_png").alias("payload"),
+            )
+        )
+        .groupBy("media_id")
+        .agg(
+            F.count("*").cast("long").alias("vfs_frames"),
+            # mean_byte per frame is tot/128 (exactly representable);
+            # summing the de-normalized tots keeps the agg order-exact
+            F.round(
+                F.sum(F.col("mean_byte") * 128) / (F.count("*") * 128), 6
+            ).alias("vfs_mean"),
+        )
+    )
+    return (
+        decoded.join(feats, "media_id")
+        .join(rs, "media_id")
+        .join(vstat, "media_id", "left")
+        .select(
+            "media_id", "kind", "n_bytes", "frames",
+            F.round("mean_byte", 6).alias("mean_byte"),
+            F.round(F.element_at("features", 1), 6).alias("f0"),
+            "rs_bytes", "rs_mean",
+            F.coalesce("vfs_frames", F.lit(0)).cast("long").alias("vfs_frames"),
+            F.round(F.coalesce("vfs_mean", F.lit(0.0)), 6).alias("vfs_mean"),
+        )
     )
 
 
@@ -2433,12 +2475,34 @@ h AS (SELECT media_id,
 f AS (SELECT media_id, hex,
   CASE media_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
     ELSE 'video' END AS kind FROM h),
-mb AS (SELECT media_id, list_aggregate(list_transform(range(128), i ->
+bl AS (SELECT media_id, list_transform(range(128), i ->
   (strpos('0123456789abcdef',
      substr(hex, CAST(2 * i + 1 AS INTEGER), 1)) - 1) * 16
   + strpos('0123456789abcdef',
-     substr(hex, CAST(2 * i + 2 AS INTEGER), 1)) - 1), 'sum') AS tot
-  FROM h)
+     substr(hex, CAST(2 * i + 2 AS INTEGER), 1)) - 1) AS bs
+  FROM h),
+mb AS (SELECT media_id, list_aggregate(bs, 'sum') AS tot FROM bl),
+-- flat payload positions picked by the nearest-neighbor resample of the
+-- (8,16) grid to (4,6): row i -> i*8//4, col j -> j*16//6 (integer-exact,
+-- the same index law as resize_media)
+sel AS (SELECT list_transform(range(24), k ->
+  ((k // 6) * 8 // 4) * 16 + ((k % 6) * 16) // 6) AS flat),
+rs AS (SELECT f.media_id,
+  CAST(CASE f.kind WHEN 'image' THEN 24 WHEN 'audio' THEN 6
+    ELSE 24 * (f.media_id % 7 + 1) END AS BIGINT) AS rs_bytes,
+  CASE f.kind
+    WHEN 'image' THEN list_aggregate(list_transform(sel.flat,
+      p -> bs[CAST(p + 1 AS INTEGER)]), 'sum') / 24.0
+    WHEN 'audio' THEN list_aggregate(list_transform(range(6),
+      i -> bs[CAST((i * 128) // 6 + 1 AS INTEGER)]), 'sum') / 6.0
+    -- video frame fr is the payload rolled by fr bytes: rolled[p] =
+    -- bs[(p - fr) mod 128]; q enumerates (frame, picked position) pairs
+    ELSE list_aggregate(list_transform(range((f.media_id % 7 + 1) * 24),
+      q -> bs[CAST(((sel.flat[CAST(q % 24 + 1 AS INTEGER)] - q // 24)
+                    % 128 + 128) % 128 + 1 AS INTEGER)]), 'sum')
+         / ((f.media_id % 7 + 1) * 24.0)
+  END AS rs_mean_raw
+  FROM f JOIN bl ON bl.media_id = f.media_id CROSS JOIN sel)
 SELECT f.media_id, kind,
   CAST(CASE WHEN kind = 'video' THEN 128 * (f.media_id % 7 + 1)
     ELSE 128 END AS BIGINT) AS n_bytes,
@@ -2446,7 +2510,17 @@ SELECT f.media_id, kind,
     AS INTEGER) AS frames,
   ROUND(mb.tot / 128.0, 6) AS mean_byte,
   ROUND(len(list_filter(range(128),
-    i -> substr(hex, CAST(2 * i + 1 AS INTEGER), 1) = '0')) / 128.0, 6) AS f0
+    i -> substr(hex, CAST(2 * i + 1 AS INTEGER), 1) = '0')) / 128.0, 6) AS f0,
+  rs.rs_bytes,
+  ROUND(rs.rs_mean_raw, 6) AS rs_mean,
+  -- every_k=2 over media_id%7+1 frames keeps ceil(frames/2) of them; a
+  -- frame is the full rolled payload, so its decoded mean equals the
+  -- payload mean (population preserved through PNG re-encode + decode)
+  CAST(CASE WHEN kind = 'video' THEN (f.media_id % 7 + 2) // 2 ELSE 0 END
+    AS BIGINT) AS vfs_frames,
+  ROUND(CASE WHEN kind = 'video' THEN mb.tot / 128.0 ELSE 0.0 END, 6)
+    AS vfs_mean
 FROM f JOIN mb ON mb.media_id = f.media_id
+JOIN rs ON rs.media_id = f.media_id
 """,
     }

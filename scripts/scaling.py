@@ -300,16 +300,24 @@ def run_fixpoint_once(job: str, cpus: int, multiplier: int, iters: int,
 
 
 def run_fixpoint_suite(jobs: list[str], n: int, multiplier: int, iters: int,
-                       reps: int, sf_dir: str, pin: bool) -> None:
+                       reps: int, sf_dir: str, pin: bool,
+                       parts: int | None = None) -> None:
     """Measure each fixpoint job at pinned N and 4N cores (interleaved
     reps) and merge the results into BENCH_SCALING.json under
     ``fixpoint_suite`` — evidence that the O(state)-shuffle claim of the
-    shuffle-hash-pinned loops holds beyond the sf0.1 stage-launch floor."""
+    shuffle-hash-pinned loops holds beyond the sf0.1 stage-launch floor.
+
+    ``parts`` fixes ONE shuffle layout used at both levels (default: the
+    4N level's core count). Jobs whose per-partition work is uniform
+    (dense block kernels) are fine at 1 task/core, but skew-prone one-shot
+    jobs (triangles: wedge work varies per partition) need several tasks
+    per core at the hi level or stragglers set the whole wall — pass e.g.
+    ``--parts 32`` for 4 tasks/core of load balancing at 4N=8."""
     path = os.path.join(ROOT, "BENCH_SCALING.json")
     with open(path) as f:
         doc = json.load(f)
     suite = doc.setdefault("fixpoint_suite", {})
-    parts = n * 4  # one shuffle layout for both levels (see runner comment)
+    parts = parts or n * 4  # one shuffle layout for both levels (see runner comment)
     for job in jobs:
         # trend points at non-default sizes get their own key so a larger
         # re-measurement extends the record instead of replacing the m64 row
@@ -394,6 +402,11 @@ def main() -> None:
                     "(cc,cc_block,lpa,lpa_block,bfs). Fixpoint jobs merge into "
                     "BENCH_SCALING.json under fixpoint_suite.")
     ap.add_argument("--fixpoint-iters", type=int, default=8)
+    ap.add_argument("--parts", type=int, default=None,
+                    help="fixed shuffle-partition count used at BOTH "
+                    "levels of the fixpoint suite (default: 4N). Raise to "
+                    "a small multiple of 4N for skew-prone one-shot jobs "
+                    "(triangles) so hi-level stragglers can load-balance.")
     args = ap.parse_args()
 
     jobs = [j.strip() for j in args.jobs.split(",") if j.strip()]
@@ -402,7 +415,7 @@ def main() -> None:
     if fixpoint_jobs:
         run_fixpoint_suite(fixpoint_jobs, args.n, args.multiplier,
                            args.fixpoint_iters, args.reps, args.sf_dir,
-                           args.pin)
+                           args.pin, args.parts)
     if "pagerank" not in jobs:
         return
 

@@ -69,3 +69,16 @@ def test_adjacency_variant_matches_wedge(spark):
         arcs = er_arcs(25, 0.15, seed)
         edges = spark.createDataFrame(arcs, "src long, dst long")
         assert triangle_count_adjacency(edges) == triangle_count(edges)
+
+
+@pytest.mark.parametrize("shift", [0, 2**31, 2**40])
+def test_adjacency_int32_narrowing_boundary(spark, shift):
+    # the adjacency kernel narrows ids long->int only when max id < 2^31;
+    # shifted copies of the same graph must count identically on both the
+    # narrowed and the long fallback path
+    from webgraph_spark.algo.triangles import triangle_count_adjacency
+
+    arcs = [(a + shift, b + shift) for a, b in er_arcs(30, 0.12, 7)]
+    edges = spark.createDataFrame(arcs, "src long, dst long")
+    expect_cnt, _ = triangles_brute(arcs, {x for ab in arcs for x in ab})
+    assert triangle_count_adjacency(edges) == expect_cnt
