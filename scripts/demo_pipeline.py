@@ -44,6 +44,13 @@ def main() -> None:
     ap.add_argument("--repos", type=int, default=50)
     ap.add_argument("--out", default="/tmp/webgraph_demo")
     ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "16"))
+    ap.add_argument(
+        "--pr-iters",
+        type=int,
+        default=200,
+        help="PageRank iteration cap (lower it for smoke runs; "
+        "convergence to tol 1e-9 needs ~140 at alpha=0.85)",
+    )
     args = ap.parse_args()
     spark = get_spark(
         app_name="webgraph-demo",
@@ -73,7 +80,7 @@ def main() -> None:
 
     ckpt = CheckpointManager(spark, f"{args.out}/ckpt")
     ids = nodes.select("id")
-    pr = pagerank(spark, csr, ids, tol=1e-9, max_iter=200, checkpointer=ckpt)
+    pr = pagerank(spark, csr, ids, tol=1e-9, max_iter=args.pr_iters, checkpointer=ckpt)
     report["pagerank"] = {
         "iterations": pr.iterations,
         "converged": pr.converged,
