@@ -109,29 +109,29 @@ def label_propagation(
         # carried old label in one pass, making the update + changed flag a
         # projection. Nodes with no (recomputed) votes — isolated nodes, or
         # unaffected dsts under the restriction — have only their self row
-        # and keep their label via the coalesce.
-        # Round shape: ONE explicit repartition(p, id) after the gather, so
-        # BOTH downstream groupBys run exchange-free (HashPartitioning(id)
-        # satisfies the clustering of (id, label) and of (id)) — 2 exchanges
-        # + 2 stages per round instead of 3 + 3. The trade: the raw vote
-        # rows move unaggregated where groupBy(id, label) would map-side
-        # combine them first — but combine only helps once labels collapse
-        # (early rounds the (dst, label) pairs are nearly all distinct), and
-        # by the time they do collapse the affected-set restriction has
-        # already shrunk the gather to the frontier's in-edges. Measured at
-        # 28.4M edges, 8 cores: 10.2 s vs 13.8 s median per round, same
-        # checksums (one fewer per-round stage floor is also exactly what
-        # the N→4N scaling protocol is sensitive to).
-        p = int(
-            edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
-        )
+        # and keep their label via the coalesce. Per round: 3 exchanges
+        # (labels by src, partials by (id,label), partials by id) and 1
+        # join, versus 4 and 2 for the join-back formulation.
+        # NOT a 2-exchange round: an earlier revision inserted one explicit
+        # repartition(p, id) after the gather so both groupBys ran
+        # exchange-free (2 exchanges + 2 stage floors per round) — faster at
+        # sf0.1-ish sizes where the per-stage launch floor dominates
+        # (28.4M edges, 8 cores: 10.2 s vs 13.8 s per round), but the
+        # repartition moves the RAW vote rows where groupBy(id, label)
+        # map-side combines them first, and once labels collapse (round 2+)
+        # the combined exchange is several-fold smaller. Measured under the
+        # pinned two-level protocol at 113.7M edges the raw-exchange round
+        # shape halved 8-core throughput (96.4 s/iter vs 52.2 s/iter) and
+        # dropped N→4N efficiency 0.695 → 0.419 — the per-stage floor it
+        # saved is exactly the term that vanishes at real scale, while the
+        # partial-aggregation bytes it gave up are the term that grows.
+        # Partial-agg formulation kept; exchange bytes are the currency.
         gather = vote_edges.join(
             labels.hint("shuffle_hash"), F.col("src") == labels["id"]
         ).select(F.col("dst").alias("id"), "label", F.lit(0).alias("__s"))
         self_rows = labels.select("id", "label", F.lit(1).alias("__s"))
         counted = (
             gather.unionByName(self_rows)
-            .repartition(p, "id")
             .groupBy("id", "label")
             .agg(
                 F.count(F.when(F.col("__s") == 0, 1)).alias("__c"),
