@@ -198,6 +198,20 @@ def run_job(rounds, warm=False):
         from webgraph_spark.algo.triangles import triangle_count_adjacency
         triangle_count_adjacency(edges.limit(100_000) if warm else edges)
         return 1
+    if job == "triangles_wagg":
+        # map-side-combined wedge aggregation count (see triangles.py
+        # triangle_count_wedge_agg) — candidate replacement for the
+        # array-shipping adjacency variant at scale
+        from webgraph_spark.algo.triangles import triangle_count_wedge_agg
+        triangle_count_wedge_agg(edges.limit(100_000) if warm else edges)
+        return 1
+    if job == "triangles_wedge":
+        # wedge-join + closing semi-join formulation of the same count —
+        # measured side by side with the adjacency variant so the recorded
+        # numbers, not sf0.1 intuition, pick the bench/scale default
+        from webgraph_spark.algo.triangles import triangle_vertices
+        triangle_vertices(edges.limit(100_000) if warm else edges).count()
+        return 1
     if job == "cc":
         from webgraph_spark.algo.components import hash_min_components
         res = hash_min_components(edges, nodes, max_iter=rounds,
@@ -341,10 +355,14 @@ def run_fixpoint_suite(jobs: list[str], n: int, multiplier: int, iters: int,
             "2-round unconfined warm-up; interleaved reps; min over reps "
             "per level"
         )
-        if job == "triangles":
+        if job.startswith("triangles"):
+            variant = {
+                "triangles_wedge": "wedge-join + closing semi-join",
+                "triangles_wagg": "map-side-combined wedge aggregation",
+            }.get(job.split("_m")[0], "degree-oriented array_intersect")
             protocol = (
-                "one-shot exact triangle count (degree-oriented "
-                "array_intersect variant), whole-job wall at one fixed "
+                f"one-shot exact triangle count ({variant} "
+                "variant), whole-job wall at one fixed "
                 "shuffle-partition layout (the 4N level's count) at both "
                 "levels; late taskset pinning after a truncated-input "
                 "warm-up (daemons+JIT only — a one-shot job carries no "
@@ -411,7 +429,8 @@ def main() -> None:
 
     jobs = [j.strip() for j in args.jobs.split(",") if j.strip()]
     fixpoint_jobs = [j for j in jobs if j in (
-        "cc", "cc_block", "lpa", "lpa_block", "bfs", "triangles")]
+        "cc", "cc_block", "lpa", "lpa_block", "bfs", "triangles",
+        "triangles_wedge", "triangles_wagg")]
     if fixpoint_jobs:
         run_fixpoint_suite(fixpoint_jobs, args.n, args.multiplier,
                            args.fixpoint_iters, args.reps, args.sf_dir,

@@ -82,3 +82,26 @@ def test_adjacency_int32_narrowing_boundary(spark, shift):
     edges = spark.createDataFrame(arcs, "src long, dst long")
     expect_cnt, _ = triangles_brute(arcs, {x for ab in arcs for x in ab})
     assert triangle_count_adjacency(edges) == expect_cnt
+
+
+def test_wedge_agg_variant_matches(spark):
+    from webgraph_spark.algo.triangles import (
+        triangle_count,
+        triangle_count_wedge_agg,
+    )
+    from tests.oracles import er_arcs
+
+    for seed in (1, 2, 3):
+        arcs = er_arcs(25, 0.15, seed)
+        edges = spark.createDataFrame(arcs, "src long, dst long")
+        assert triangle_count_wedge_agg(edges) == triangle_count(edges)
+
+
+@pytest.mark.parametrize("shift", [0, 2**31])
+def test_wedge_agg_int32_narrowing_boundary(spark, shift):
+    from webgraph_spark.algo.triangles import triangle_count_wedge_agg
+
+    arcs = [(a + shift, b + shift) for a, b in er_arcs(30, 0.12, 7)]
+    edges = spark.createDataFrame(arcs, "src long, dst long")
+    expect_cnt, _ = triangles_brute(arcs, {x for ab in arcs for x in ab})
+    assert triangle_count_wedge_agg(edges) == expect_cnt
