@@ -23,6 +23,14 @@ def _oriented(edges: DataFrame) -> DataFrame:
     (dedup clusters by (src, dst), satisfied by src-partitioning), and the
     degree aggregate then needs no exchange of its own — two exchanges
     saved vs the naive ``simplify() + groupBy`` plan.
+
+    Partition sizing (measured, docs/SCALING.md §7d): the layout knob is
+    ``spark.sql.shuffle.partitions``; size it so each partition holds
+    ~3.5M oriented edges. Larger partitions spill in the downstream
+    array join (14M/partition cost +30% wall at m=114M); much smaller
+    ones pay per-task array (de)serialization churn (0.9M/partition cost
+    2× at m=28M). Count scales with data, bytes/partition is the
+    invariant.
     """
     spark = edges.sparkSession
     p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
