@@ -1151,12 +1151,26 @@ def _webbase_arcs(spark, sf_dir):
             records.append((f"ftp://node{k:05d}.test/", [url((k * 7) % n + 1)]))
         else:
             page = "HTTP" + url(k)[4:] if k % 5 == 0 else url(k)
+
+            def t(m: int) -> int:
+                return (k * m) % n + 1
+
             records.append(
                 (
                     page,
                     [
-                        url((k * 7) % n + 1),
-                        url((k * 13) % n + 1),
+                        url(t(7)),
+                        url(t(13)),
+                        # URL2-normalized resolution (Converter.java:115-125
+                        # via webbase/URL2.java): each of these resolves to
+                        # url(t) after normalization — host lowercasing,
+                        # default-port strip, empty path -> "/", trailing
+                        # host dot, fragment strip
+                        url(t(3)).upper().replace("HTTP://", "http://"),
+                        url(t(11))[:-1] + ":80/",
+                        url(t(19))[:-1],
+                        url(t(29))[:-1] + "./",
+                        url(t(31)) + "#frag",
                         "http://spa ce.test/",
                         "nothttp://x.test/",
                         "Http://case.test/",
@@ -1244,10 +1258,14 @@ def _q_host_map(spark, sf_dir):
     URLs synthesized from the documents table (subdomain / TLD / dotted
     numeric addresses by doc_id arithmetic), then the full host map at both
     granularities — ``scope='host'`` (raw hosts) and ``scope='tpd'`` (top
-    private domains via the embedded public-suffix subset; dotted addresses
-    and unknown-suffix hosts kept unchanged, like the reference's
-    ``isUnderPublicSuffix`` gate). The ``.internal`` TLD exercises that
-    gate; ``co.uk`` the 2-label suffixes."""
+    private domains via the packaged full public-suffix list,
+    ``sources/psl.py``; dotted addresses and unknown-suffix hosts kept
+    unchanged, like the reference's ``isUnderPublicSuffix`` gate). The
+    ``.internal`` TLD exercises that gate; ``co.uk`` and ``co.kr`` the
+    2-label registry suffixes (``co.kr`` was NOT in the round-2/3 embedded
+    subset — it exercises the full list); ``.ck`` the wildcard rule
+    ``*.ck`` (every <label>.ck is a public suffix) and, via the planted
+    ``www.ck`` hosts, the exception rule ``!www.ck``."""
     from webgraph_spark.sources.hosts import build_host_map
 
     docs = _docs(spark, sf_dir)
@@ -1256,12 +1274,18 @@ def _q_host_map(spark, sf_dir):
         (F.col("doc_id") % 3 + 1).cast("int"),
     )
     tld = F.element_at(
-        F.array(F.lit("com"), F.lit("co.uk"), F.lit("org"), F.lit("internal")),
-        (F.col("doc_id") % 4 + 1).cast("int"),
+        F.array(
+            F.lit("com"), F.lit("co.uk"), F.lit("org"), F.lit("internal"),
+            F.lit("co.kr"), F.lit("ck"),
+        ),
+        (F.col("doc_id") % 6 + 1).cast("int"),
     )
     url = F.when(
         F.col("doc_id") % 17 == 0,
         F.concat(F.lit("http://10.0."), F.col("doc_id") % 250, F.lit(".7/x")),
+    ).when(
+        F.col("doc_id") % 23 == 0,
+        F.concat(F.lit("https://www.ck/e/"), F.col("doc_id")),
     ).otherwise(
         F.concat(
             F.lit("https://"), sub, F.lit("."), F.col("source"),
@@ -2046,9 +2070,12 @@ SELECT metric, value FROM (
             "FROM supplier WHERE s_suppkey % 17 <> 0 AND s_suppkey % 23 <> 0)",
             "m AS (SELECT k, url, CAST(row_number() OVER (ORDER BY url) - 1 "
             "AS BIGINT) AS id FROM pages)",
-            "links AS (SELECT k, (k * 7) % (SELECT c FROM nn) + 1 AS t "
-            "FROM pages UNION ALL "
-            "SELECT k, (k * 13) % (SELECT c FROM nn) + 1 FROM pages)",
+            # one row per planted outlink multiplier — the 3/11/19/29/31
+            # links only resolve through URL2 normalization (host case,
+            # :80 strip, missing path, trailing dot, fragment); all
+            # normalize to the target page's canonical url
+            "links AS (SELECT k, (k * m) % (SELECT c FROM nn) + 1 AS t "
+            "FROM pages, (SELECT unnest([7, 13, 3, 11, 19, 29, 31]) AS m))",
             select="SELECT 'cosin' AS fmt, src, dst FROM edges "
             "UNION ALL "
             "SELECT DISTINCT 'webbase', ms.id, mt.id FROM links l "
@@ -2129,13 +2156,18 @@ SELECT metric, value FROM (
         "personalized_pagerank": _ppr_sql(PR_ITERS),
         # full BuildHostMap replay: URL synthesis, regex host extraction,
         # public-suffix TPD collapse (dotted-address + unknown-suffix hosts
-        # unchanged), dense lexicographic host ids, per-host URL counts.
+        # unchanged; the synthesized hosts' relevant PSL rules inlined —
+        # 'co.uk'/'co.kr' registry suffixes, the '*.ck' wildcard, the
+        # '!www.ck' exception), dense lexicographic host ids, per-host
+        # URL counts.
         "host_map": """
 WITH urls AS (SELECT CASE WHEN doc_id % 17 = 0
     THEN 'http://10.0.' || (doc_id % 250)::VARCHAR || '.7/x'
+    WHEN doc_id % 23 = 0
+    THEN 'https://www.ck/e/' || doc_id::VARCHAR
     ELSE 'https://' || ['www','cdn','a1.b2'][(doc_id % 3 + 1)::INT] || '.'
       || source || '.'
-      || ['com','co.uk','org','internal'][(doc_id % 4 + 1)::INT]
+      || ['com','co.uk','org','internal','co.kr','ck'][(doc_id % 6 + 1)::INT]
       || '/p/' || doc_id::VARCHAR END AS url FROM documents),
 h AS (SELECT lower(regexp_extract(url,
     '^[A-Za-z][A-Za-z0-9+.\\-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)) AS host
@@ -2144,14 +2176,12 @@ t AS (SELECT host, string_split(host, '.') AS l FROM h),
 tpd AS (SELECT host, CASE
   WHEN regexp_matches(host, '^(([0-9A-Fa-f]+[:])*[0-9A-Fa-f]+|(((0x[0-9A-Fa-f]+)|([0-9]+))\\.)*((0x[0-9A-Fa-f]+)|([0-9]+)))$')
     THEN host
-  WHEN len(l) >= 3 AND (l[-2] || '.' || l[-1]) IN
-    ('co.uk','ac.uk','gov.uk','org.uk','me.uk','com.au','net.au','org.au',
-     'co.jp','ne.jp','or.jp','ac.jp','co.nz','co.in','co.za','com.br',
-     'com.cn','com.mx','com.sg')
+  WHEN len(l) >= 2 AND (l[-2] || '.' || l[-1]) = 'www.ck'
+    THEN 'www.ck'
+  WHEN len(l) >= 3 AND ((l[-2] || '.' || l[-1]) IN ('co.uk','co.kr')
+                        OR l[-1] = 'ck')
     THEN l[-3] || '.' || l[-2] || '.' || l[-1]
-  WHEN len(l) >= 2 AND l[-1] IN
-    ('com','org','net','edu','gov','mil','int','info','biz','io','dev',
-     'app','xyz','de','fr','it','nl','eu','us')
+  WHEN len(l) >= 2 AND l[-1] IN ('com','org')
     THEN l[-2] || '.' || l[-1]
   ELSE host END AS d FROM t),
 hg AS (SELECT 'host' AS scope, host, count(*) AS n_urls FROM h GROUP BY host

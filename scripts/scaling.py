@@ -208,9 +208,11 @@ def run_job(rounds, warm=False):
     if job == "triangles_wedge":
         # wedge-join + closing semi-join formulation of the same count —
         # measured side by side with the adjacency variant so the recorded
-        # numbers, not sf0.1 intuition, pick the bench/scale default
-        from webgraph_spark.algo.triangles import triangle_vertices
-        triangle_vertices(edges.limit(100_000) if warm else edges).count()
+        # numbers, not sf0.1 intuition, pick the bench/scale default.
+        # triangle_count owns the oriented cache's persist lifecycle, so
+        # repeated reps in one JVM don't accumulate cached blocks.
+        from webgraph_spark.algo.triangles import triangle_count
+        triangle_count(edges.limit(100_000) if warm else edges)
         return 1
     if job == "cc":
         from webgraph_spark.algo.components import hash_min_components

@@ -131,3 +131,59 @@ def test_webbase_dump_is_splittable(spark, tmp_path):
     assert node_map.count() == 50
     assert edges.count() == len({((i), (i * 7) % 50) for i in range(50)})
     assert pages >= 50
+
+
+def test_url2_normalize_column(spark):
+    """URL2.toString() replay (webbase/URL2.java:217-487): host/scheme case,
+    default port, trailing host dot, fragment, empty path, slash runs,
+    query escaping, userinfo, non-ASCII %-encoding."""
+    from webgraph_spark.sources.webbase import normalize_url2
+
+    cases = {
+        "http://Example.COM/Path/X": "http://example.com/Path/X",
+        "HTTP://a.test": "http://a.test/",
+        "http://a.test:80/x": "http://a.test/x",
+        "http://a.test:8080/x": "http://a.test:8080/x",
+        "http://a.test:0080/x": "http://a.test/x",  # parseInt("0080") == 80
+        "http://a.test:bad/x": "http://a.test/x",   # unparsable port dropped
+        "http://a.test./": "http://a.test/",
+        "http://a.test/x#frag": "http://a.test/x",
+        "http://a.test//x///y": "http://a.test/x/y",
+        "http://a.test/p?q/r": "http://a.test/p?q%2Fr",
+        "http://a.test/p?": "http://a.test/p?",  # bare trailing '?' kept
+        "http://User@A.test/x": "http://User@a.test/x",
+        "  http://a.test/x  ": "http://a.test/x",
+        "url:http://a.test/x": "http://a.test/x",
+        "http://a.test/café": "http://a.test/caf%C3%A9",
+        "http://a.test/p?x=ü": "http://a.test/p?x=%C3%BC",
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "u string")
+    got = {
+        r["u"]: r["n"]
+        for r in df.select("u", normalize_url2("u").alias("n")).collect()
+    }
+    assert got == cases
+
+
+def test_webbase_graph_resolves_normalized_links(spark, tmp_path):
+    """Mixed-case-host / :80 / trailing-dot / fragment / missing-path
+    outlinks that the reference resolves via URL2 now resolve here too
+    (Converter.java:115-125), and page urls dedup by normalized form."""
+    path = str(tmp_path / "dump.txt")
+    write_webbase_dump(
+        [
+            ("http://b.test/", ["http://A.test/", "http://c.test:80/"]),
+            ("http://a.test/", ["http://b.test./", "http://b.test/#f",
+                                "http://nowhere.test/"]),
+            ("http://c.test/", ["http://a.test"]),
+            # page duplicating http://b.test/ after normalization: its link
+            # list loses to the smaller raw url "http://b.test/"
+            ("http://B.test:80/", ["http://a.test/", "http://c.test/"]),
+        ],
+        path,
+    )
+    node_map, edges = webbase_to_graph(read_webbase_pages(spark, path))
+    m = {r["key"]: r["id"] for r in node_map.collect()}
+    assert m == {"http://a.test/": 0, "http://b.test/": 1, "http://c.test/": 2}
+    got = sorted((r["src"], r["dst"]) for r in edges.collect())
+    assert got == [(0, 1), (1, 0), (1, 2), (2, 0)]

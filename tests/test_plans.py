@@ -28,8 +28,10 @@ def test_parquet_filter_pushdown_and_column_pruning(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     q = docs.filter(F.col("lang") == "en").select("doc_id", "n_chars")
     plan = _plan(q)
-    # predicate reaches the parquet scan
-    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan
+    # predicate reaches the parquet scan (loose match: the invariant is the
+    # pushed EqualTo, not the PushedFilters list's ordering/printout format)
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed and "EqualTo(lang,en)" in pushed[0]
     # the big payload column is pruned from the scan schema
     read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
     assert "text" not in read_schema
@@ -56,11 +58,13 @@ def test_partition_for_join_cached_graph_side_never_reexchanged(spark):
         # The persisted graph side streams from cache with its hash layout
         # already satisfying the join requirement — the per-iteration
         # O(state)-bytes claim.
+        # loose match: the invariant is "one planner-inserted exchange,
+        # keyed on the state id", not the reason-tag printout format
         ensure = [
             ln for ln in plan.splitlines()
             if "Exchange" in ln and "ENSURE_REQUIREMENTS" in ln
         ]
-        assert len(ensure) == 1 and "hashpartitioning(id" in ensure[0]
+        assert len(ensure) == 1 and "hashpartitioning(id" in ensure[0], plan
         # no exchange between the join and the cached graph-side scan
         graph_side = plan.split("InMemoryRelation")[0]
         assert "InMemoryTableScan" in graph_side
@@ -95,8 +99,11 @@ def test_text_features_stay_in_codegen(spark, sf_dir):
     out = fingerprint(langid(with_text_stats(docs)))
     plan = _plan(out)
     assert "EvalPython" not in plan and "MapInPandas" not in plan
-    # whole-stage codegen span present (starred operators)
-    assert "*(1)" in plan
+    # whole-stage codegen span present (starred operators; loose match —
+    # the codegen id is numbering, not the invariant)
+    import re
+
+    assert re.search(r"\*\(\d+\)", plan)
 
 
 def test_hot_loop_aggregates_are_map_side_combined(spark):

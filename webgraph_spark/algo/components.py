@@ -166,16 +166,21 @@ def star_contraction_components(
     its neighbourhood; small-star: every node and its smaller neighbours
     collapse onto that minimum. The edge multiset converges to per-component
     stars rooted at the component's minimum id. Convergence is detected by
-    an order-insensitive (count, bit_xor-hash) signature of the edge set —
-    one aggregate action per round.
+    an order-insensitive (count, bit_xor-hash) signature of the edge set
+    that rides the round's eager-checkpoint action via ``observe()`` —
+    ONE action per round, same shape as every other fixpoint loop here
+    (a separate signature collect would re-scan the checkpointed rows).
     """
 
-    def _sig(e: DataFrame) -> tuple[int, int]:
-        row = e.agg(
+    def _checkpoint_with_sig(e: DataFrame) -> tuple[DataFrame, tuple[int, int]]:
+        obs = Observation()
+        ck = e.observe(
+            obs,
             F.count(F.lit(1)).alias("c"),
             F.bit_xor(F.xxhash64("src", "dst")).alias("h"),
-        ).collect()[0]
-        return int(row["c"] or 0), int(row["h"] or 0)
+        ).transform(checkpoint_state)
+        m = obs.get
+        return ck, (int(m["c"] or 0), int(m["h"] or 0))
 
     def _large(e: DataFrame) -> DataFrame:
         sym = (
@@ -217,17 +222,13 @@ def star_contraction_components(
             .union(edges.select(F.col("dst").alias("id")))
             .distinct()
         )
-    e = (
-        edges.select("src", "dst")
-        .filter(F.col("src") != F.col("dst"))
-        .transform(checkpoint_state)
+    e, prev = _checkpoint_with_sig(
+        edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
     )
     result = ComponentsResult(components=None, iterations=0)
-    prev = _sig(e)
     for rnd in range(max_rounds):
         t0 = time.monotonic()
-        e = _small(_large(e)).transform(checkpoint_state)
-        sig = _sig(e)
+        e, sig = _checkpoint_with_sig(_small(_large(e)))
         result.iterations = rnd + 1
         result.iter_seconds.append(time.monotonic() - t0)
         if sig == prev:

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
-def _oriented(edges: DataFrame) -> DataFrame:
+def _oriented(edges: DataFrame, pre_symmetrized: bool = False) -> DataFrame:
     """Symmetrize+deloop, then orient each undirected edge low->high by
     (undirected degree, id).
 
@@ -24,24 +24,37 @@ def _oriented(edges: DataFrame) -> DataFrame:
     degree aggregate then needs no exchange of its own — two exchanges
     saved vs the naive ``simplify() + groupBy`` plan.
 
+    ``pre_symmetrized=True`` skips that build entirely: the caller asserts
+    ``edges`` is already symmetric, loop-free, deduplicated, and
+    hash-partitioned by src (the clustering entry points construct exactly
+    that frame and persist it) — re-symmetrizing it would be a wasted
+    O(2m) shuffle + dedup per call.
+
     Partition sizing (measured, docs/SCALING.md §7d): the layout knob is
     ``spark.sql.shuffle.partitions``; size it so each partition holds
-    ~3.5M oriented edges. Larger partitions spill in the downstream
-    array join (14M/partition cost +30% wall at m=114M); much smaller
-    ones pay per-task array (de)serialization churn (0.9M/partition cost
-    2× at m=28M). Count scales with data, bytes/partition is the
-    invariant.
+    ~3.5M INPUT arcs (the measured-best 113.7M-arc run used 32 partitions
+    = 3.55M arcs each; the oriented set a partition ends up holding is
+    roughly half that after symmetrize-dedup-orient). Larger partitions
+    spill in the downstream array join (14.2M input arcs/partition cost
+    +30% wall at m=114M); much smaller ones pay per-task array
+    (de)serialization churn (0.9M input arcs/partition cost 2× at m=28M).
+    Count scales with data, bytes/partition is the invariant.
     """
     spark = edges.sparkSession
     p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    simple = (
-        edges.unionByName(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    if pre_symmetrized:
+        simple = edges
+    else:
+        simple = (
+            edges.unionByName(
+                edges.select(
+                    F.col("dst").alias("src"), F.col("src").alias("dst")
+                )
+            )
+            .filter(F.col("src") != F.col("dst"))
+            .repartition(p, "src")
+            .dropDuplicates(["src", "dst"])
         )
-        .filter(F.col("src") != F.col("dst"))
-        .repartition(p, "src")
-        .dropDuplicates(["src", "dst"])
-    )
     und = simple.filter(F.col("src") < F.col("dst"))
     deg = simple.groupBy(F.col("src").alias("id")).agg(
         F.count(F.lit(1)).alias("deg")
@@ -88,11 +101,23 @@ def _triangle_corners(o: DataFrame) -> DataFrame:
 
 
 def triangle_count(edges: DataFrame) -> int:
-    """Global exact triangle count."""
-    return triangle_vertices(edges).count()
+    """Global exact triangle count (wedge-join formulation).
+
+    Owns the oriented cache's lifecycle — unlike ``triangle_vertices``
+    (whose returned frame still reads from the cache, so the caller owns
+    it), repeated counts in one JVM leave no cached blocks behind.
+    """
+    o = _oriented(edges).persist()
+    try:
+        o.count()
+        return _triangle_corners(o).count()
+    finally:
+        o.unpersist()
 
 
-def triangle_count_adjacency(edges: DataFrame) -> int:
+def triangle_count_adjacency(
+    edges: DataFrame, pre_symmetrized: bool = False
+) -> int:
     """Edge-iterator variant: per oriented edge (u, v), |succ(u) ∩ succ(v)|
     summed — the sorted-array-intersection formulation (SURVEY §2.6),
     expressed with JVM-side ``array_intersect`` (no wedge materialization,
@@ -117,7 +142,7 @@ def triangle_count_adjacency(edges: DataFrame) -> int:
     """
     obs = Observation()
     o = (
-        _oriented(edges)
+        _oriented(edges, pre_symmetrized=pre_symmetrized)
         .observe(obs, F.max(F.greatest("src", "dst")).alias("mx"))
         .persist()
     )
@@ -235,7 +260,7 @@ def local_clustering_coefficient(edges: DataFrame) -> DataFrame:
         .persist()
     )
     simple.count()
-    o = _oriented(simple).persist()
+    o = _oriented(simple, pre_symmetrized=True).persist()
     try:
         o.count()
         deg = simple.groupBy(F.col("src").alias("id")).agg(
@@ -292,7 +317,7 @@ def global_clustering_coefficient(edges: DataFrame) -> float:
         wedges = float(wedges_row["w"] or 0.0)
         if wedges == 0.0:
             return 0.0
-        t = triangle_count_adjacency(simple)
+        t = triangle_count_adjacency(simple, pre_symmetrized=True)
         return 3.0 * t / wedges
     finally:
         simple.unpersist()

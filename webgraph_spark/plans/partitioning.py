@@ -124,6 +124,88 @@ def symmetrize_for_join(
     )
 
 
+def _estimated_scan_partitions(spark, files: list[str]) -> int | None:
+    """FileSourceScan partition count, computed driver-side from the file
+    listing by replaying Spark's own split sizing + packing
+    (``FilePartition.maxSplitBytes`` / ``getFilePartitions``: maxSplit =
+    min(maxPartitionBytes, max(openCostInBytes, padded_bytes /
+    minPartitionNum)); files cut into maxSplit chunks, chunks sorted desc
+    and greedily packed, each chunk padding the accumulator by openCost).
+    No physical planning, no RDD conversion, no job. ``None`` when a size
+    can't be read (remote URI) — the caller treats that as unknown.
+
+    Whole-file codecs (.gz etc.) scan as exactly one partition per file
+    regardless of size, so their estimate is the file count.
+    """
+    unsplittable = (".gz", ".zst", ".zstd", ".lz4", ".sz", ".deflate")
+    if any(u.lower().endswith(unsplittable) for u in files):
+        return len(files)
+    sizes: list[int] = []
+    try:
+        for uri in files:
+            path = uri[len("file:"):] if uri.startswith("file:") else uri
+            sizes.append(os.path.getsize(path))
+    except OSError:
+        return None
+    open_cost = _size_conf(spark, "spark.sql.files.openCostInBytes",
+                           4 * 1024 * 1024)
+    max_part = _size_conf(spark, "spark.sql.files.maxPartitionBytes",
+                          128 * 1024 * 1024)
+    try:
+        min_pn = int(spark.conf.get("spark.sql.files.minPartitionNum"))
+    except Exception:
+        try:
+            min_pn = int(spark.conf.get("spark.sql.leafNodeDefaultParallelism"))
+        except Exception:
+            min_pn = spark.sparkContext.defaultParallelism
+    padded = sum(sizes) + len(sizes) * open_cost
+    max_split = int(min(max_part, max(open_cost, padded / max(1, min_pn))))
+    max_split = max(1, max_split)
+    pieces: list[int] = []
+    for s in sizes:
+        off = 0
+        while off < s:
+            pieces.append(min(max_split, s - off))
+            off += max_split
+    pieces.sort(reverse=True)
+    parts, cur = 0, 0
+    for ln in pieces:
+        if cur > 0 and cur + ln > max_split:
+            parts += 1
+            cur = 0
+        cur += ln + open_cost
+    return parts + (1 if cur > 0 else 0)
+
+
+def _local_leaf_partition_probe(df: DataFrame) -> int | None:
+    """Partition-count evidence from the ANALYZED logical plan (a py4j leaf
+    walk — no physical planning, no DataFrame.rdd conversion). Returns 0
+    for driver-local leaves (LocalRelation / OneRowRelation / Range — by
+    construction small, worth widening) and for LogicalRDD leaves with
+    unknown partitioning (PySpark ``createDataFrame`` output — also
+    driver-created; file/catalog relations never analyze to this shape), a
+    LogicalRDD's carried partition count when it has one, and ``None``
+    when the plan has leaves this can't reason about (external/DSv2
+    relations — treated as already-wide and passed through: those have
+    scan-side parallelism knobs of their own, and a blind full-data
+    shuffle is the costlier mistake at scale)."""
+    try:
+        leaves = df._jdf.queryExecution().analyzed().collectLeaves()
+        counts: list[int] = []
+        for i in range(leaves.size()):
+            leaf = leaves.apply(i)
+            name = leaf.getClass().getSimpleName()
+            if name in ("LocalRelation", "OneRowRelation", "Range"):
+                counts.append(0)
+            elif name == "LogicalRDD":
+                counts.append(max(0, int(leaf.outputPartitioning().numPartitions())))
+            else:
+                return None
+        return max(counts) if counts else None
+    except Exception:
+        return None
+
+
 def widen_small_input(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
     """Round-robin repartition an UNDER-partitioned input up to the session
     shuffle parallelism; wide inputs pass through untouched.
@@ -136,36 +218,34 @@ def widen_small_input(df: DataFrame, num_partitions: int | None = None) -> DataF
     MinHash signature stage 30.4 s → 0.8 s after widening. At real scale the
     input already has ≥ parallelism splits and this is a no-op — the guard
     means the 100 TB path never pays the extra full-data shuffle.
+
+    The decision is made WITHOUT ``.rdd`` / physical planning: file-backed
+    frames get a split estimate from the file listing (Spark's own packing
+    formula), everything else a logical-plan leaf probe. File COUNT alone is
+    not evidence — Spark packs small files into few splits (openCostInBytes
+    padding), so ≥ p tiny files can still scan as ONE split; the estimate
+    reproduces that packing. Unknown stays unwidened: a frame whose leaves
+    this can't size (external relations) already has scan-side parallelism
+    knobs of its own, and adding a blind full-data shuffle is the costlier
+    mistake at scale.
     """
-    if df.isStreaming:  # .rdd is undefined for streaming frames
+    if df.isStreaming:  # micro-batch sizing is the stream source's job
         return df
     spark = df.sparkSession
     p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    # fast path answered from the analyzed logical plan (no RDD conversion /
-    # physical planning): if the scan's total bytes are >= p * the max split
-    # size, FileSourceScan must produce >= p splits. File COUNT alone is not
-    # evidence — Spark packs small files into few splits (maxPartitionBytes /
-    # openCostInBytes), so >= p tiny files can still scan as ONE split.
     try:
         files = df.inputFiles()
-        # bytes imply splits only for SPLITTABLE files: a multi-GB .gz (or
-        # other whole-file codec) scans as ONE partition no matter its size,
-        # so it must fall through to the partition-count probe below
-        unsplittable = (".gz", ".zst", ".zstd", ".lz4", ".sz", ".deflate")
-        if files and not any(u.lower().endswith(unsplittable) for u in files):
-            max_split = _size_conf(spark, "spark.sql.files.maxPartitionBytes",
-                                   128 * 1024 * 1024)
-            total = 0
-            for uri in files:
-                path = uri[len("file:"):] if uri.startswith("file:") else uri
-                total += os.path.getsize(path)
-                if total >= p * max_split:
-                    return df
     except Exception:
-        pass
-    if df.rdd.getNumPartitions() >= p:
+        files = []
+    if files:
+        est = _estimated_scan_partitions(spark, list(files))
+        if est is not None and est < p:
+            return df.repartition(p)
         return df
-    return df.repartition(p)
+    probe = _local_leaf_partition_probe(df)
+    if probe is not None and probe < p:
+        return df.repartition(p)
+    return df
 
 
 def salted_sum(

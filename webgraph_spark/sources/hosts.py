@@ -12,46 +12,65 @@ Spark-first differences, documented:
   ids in lexicographic host order via the scalable two-pass
   :func:`webgraph_spark.sources.ids.mint_dense_ids` (no single-partition
   window), which is deterministic for any input partitioning.
-- The public-suffix rule uses an embedded subset of the public-suffix list
-  (publicsuffix.org) covering 1- and 2-label suffixes — enough to express
-  the reference's ``InternetDomainName.topPrivateDomain()`` semantics
-  (``isUnderPublicSuffix`` gate included: a host *not* under a known public
-  suffix is kept unchanged, and dotted/hex addresses are never collapsed,
-  mirroring ``BuildHostMap.DOTTED_ADDRESS``).
+- The public-suffix rule ships as a packaged data file in the upstream
+  publicsuffix.org format (``data/public_suffix_list.dat`` — a curated
+  snapshot; drop the complete upstream file over it for the full list) and
+  the authoritative collapse is the broadcast-join matcher in
+  :mod:`webgraph_spark.sources.psl` (full algorithm: wildcards, exceptions,
+  longest-match, ``isUnderPublicSuffix`` gate, private section included —
+  Guava ``topPrivateDomain`` parity). ``build_host_map`` and
+  ``url_host_ids`` use it, applying the matcher to the DISTINCT host table
+  so the rules machinery never touches |urls| rows.
+- :func:`top_private_domain_of` remains as a pure column-expression FAST
+  PATH for per-row expression contexts: its suffix sets are generated from
+  the same packaged file (1-/2-/3-label exact rules plus 2-label wildcard
+  and exception rules). It cannot express deeper wildcard rules (the
+  upstream file has e.g. ``*.compute.amazonaws.com``) — use the join
+  matcher when full-list fidelity matters.
 
 Everything is pure column expressions — whole-stage codegen, no UDFs.
 """
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from webgraph_spark.sources.ids import mint_dense_ids
-
-# Mirrors BuildHostMap.DOTTED_ADDRESS (anchored): hex/colon addresses and
-# dotted decimal-or-0x-hex addresses.
-DOTTED_ADDRESS = (
-    r"^(([0-9A-Fa-f]+[:])*[0-9A-Fa-f]+"
-    r"|(((0x[0-9A-Fa-f]+)|([0-9]+))\.)*((0x[0-9A-Fa-f]+)|([0-9]+)))$"
-)
-
-# Embedded public-suffix subset (publicsuffix.org; public knowledge).
-# 1-label suffixes: generic TLDs + common ccTLDs used bare.
-PUBLIC_SUFFIX_1 = (
-    "com", "org", "net", "edu", "gov", "mil", "int", "info", "biz",
-    "io", "dev", "app", "xyz", "de", "fr", "it", "nl", "eu", "us",
-)
-# 2-label suffixes: registry-controlled second-level domains.
-PUBLIC_SUFFIX_2 = (
-    "co.uk", "ac.uk", "gov.uk", "org.uk", "me.uk",
-    "com.au", "net.au", "org.au",
-    "co.jp", "ne.jp", "or.jp", "ac.jp",
-    "co.nz", "co.in", "co.za",
-    "com.br", "com.cn", "com.mx", "com.sg",
+from webgraph_spark.sources.psl import (
+    DOTTED_ADDRESS,
+    load_psl_rules,
+    top_private_domain_join,
 )
 
 _URL_HOST_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/?#@]*@)?([^/?#:]+)"
+
+
+@lru_cache(maxsize=1)
+def _fast_path_rule_sets() -> tuple[
+    tuple[str, ...], tuple[str, ...], tuple[str, ...], tuple[str, ...],
+    tuple[str, ...],
+]:
+    """Suffix sets for the column fast path, generated from the packaged
+    list: (1-label exact, 2-label exact, 3-label exact, 2-label wildcard
+    TLDs, 2-label exception suffixes)."""
+    s1, s2, s3, w2, e2 = [], [], [], [], []
+    for key, exc in load_psl_rules():
+        nl = key.count(".") + 1
+        if exc:
+            if nl == 2:
+                e2.append(key)
+            continue
+        if key.startswith("*."):
+            if nl == 2:
+                w2.append(key[2:])
+            continue
+        (s1 if nl == 1 else s2 if nl == 2 else s3 if nl == 3 else []).append(
+            key
+        )
+    return tuple(s1), tuple(s2), tuple(s3), tuple(w2), tuple(e2)
 
 
 def host_of(url: Column | str) -> Column:
@@ -62,30 +81,60 @@ def host_of(url: Column | str) -> Column:
 
 
 def top_private_domain_of(host: Column | str) -> Column:
-    """Top private domain of a host per the embedded public-suffix subset
-    (``BuildHostMap.java:86-90`` semantics): dotted/hex addresses and hosts
-    not under a known public suffix are returned unchanged; otherwise the
-    registrable domain (one label + the public suffix)."""
+    """Top private domain of a host — column-expression fast path over the
+    packaged public-suffix list (``BuildHostMap.java:86-90`` semantics):
+    dotted/hex addresses and hosts not under a known public suffix are
+    returned unchanged; otherwise the registrable domain (one label + the
+    public suffix). Expresses 1-/2-/3-label exact rules and 2-label
+    wildcard/exception rules; deeper rules need the join matcher
+    (:func:`webgraph_spark.sources.psl.top_private_domain_join`)."""
+    s1, s2, s3, w2, e2 = _fast_path_rule_sets()
     h = F.col(host) if isinstance(host, str) else host
     labels = F.split(h, r"\.")
     n = F.size(labels)
+    # try_element_at, not element_at: WHEN *conditions* are evaluated
+    # eagerly per row (only branch VALUES are lazy), so an out-of-bounds
+    # negative index in a condition would throw under ANSI mode. A short
+    # lastK (concat_ws skips the NULLs) can never false-match a K-label
+    # rule — it has fewer dots — and every branch carries an n-guard.
     last1 = F.element_at(labels, -1)
     last2 = F.concat_ws(
-        ".", F.element_at(labels, -2), F.element_at(labels, -1)
+        ".", F.try_element_at(labels, F.lit(-2)), F.element_at(labels, -1)
     )
     last3 = F.concat_ws(
         ".",
-        F.element_at(labels, -3),
-        F.element_at(labels, -2),
+        F.try_element_at(labels, F.lit(-3)),
+        F.try_element_at(labels, F.lit(-2)),
         F.element_at(labels, -1),
     )
-    under2 = last2.isin(*PUBLIC_SUFFIX_2) & (n >= 3)
-    under1 = last1.isin(*PUBLIC_SUFFIX_1) & (n >= 2)
+    last4 = F.concat_ws(
+        ".",
+        F.try_element_at(labels, F.lit(-4)),
+        F.try_element_at(labels, F.lit(-3)),
+        F.try_element_at(labels, F.lit(-2)),
+        F.element_at(labels, -1),
+    )
+    # precedence: dotted guard, exception rules (beat all), then longest
+    # match — 3-label exact, then 2-label (exact or wildcard), then 1-label
+    exc2 = e2 and last2.isin(*e2) & (n >= 2)
+    under3 = s3 and last3.isin(*s3) & (n >= 4)
+    under2 = (last2.isin(*s2) | last1.isin(*w2)) & (n >= 3)
+    under1 = last1.isin(*s1) & (n >= 2)
+    out = F.when(h.rlike(DOTTED_ADDRESS), h)
+    if e2:
+        out = out.when(exc2, last2)
+    if s3:
+        out = out.when(under3, last4)
     return (
-        F.when(h.rlike(DOTTED_ADDRESS), h)
-        .when(under2, last3)
-        .when(under1, last2)
-        .otherwise(h)
+        out.when(under2, last3).when(under1, last2).otherwise(h)
+    )
+
+
+def _host_counts(urls: DataFrame, url_col: str) -> DataFrame:
+    return (
+        urls.select(host_of(url_col).alias("host"))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("n_urls"))
     )
 
 
@@ -97,17 +146,18 @@ def build_host_map(
 
     ``host_id`` is dense 0..n_hosts-1 in lexicographic host order (see
     module docstring for why not first-appearance order). With
-    ``top_private_domain=True`` hosts are first collapsed to their top
-    private domain, mirroring the reference's ``-t`` switch.
+    ``top_private_domain=True`` hosts are collapsed to their top private
+    domain via the full-list join matcher, mirroring the reference's
+    ``-t`` switch — applied AFTER the per-host aggregation, so the PSL
+    machinery runs on |hosts| rows, never |urls|.
     """
-    h = host_of(url_col)
+    counts = _host_counts(urls, url_col)
     if top_private_domain:
-        h = top_private_domain_of(h)
-    counts = (
-        urls.select(h.alias("host"))
-        .groupBy("host")
-        .agg(F.count(F.lit(1)).alias("n_urls"))
-    )
+        counts = (
+            top_private_domain_join(counts, "host")
+            .groupBy(F.col("tpd").alias("host"))
+            .agg(F.sum("n_urls").alias("n_urls"))
+        )
     ids = mint_dense_ids(counts.select("host"), ["host"], id_col="host_id")
     return counts.join(ids, "host").select("host", "host_id", "n_urls")
 
@@ -118,9 +168,15 @@ def url_host_ids(
     """Per-URL host index (the reference's ``map`` output): the input plus
     ``host`` and ``host_id`` columns — a broadcast-friendly dim join when
     the host table is small, a plain shuffle join otherwise (Spark/AQE
-    picks; the host table is ~|hosts| rows, tiny next to |urls|)."""
+    picks; the host table is ~|hosts| rows, tiny next to |urls|). With
+    ``top_private_domain=True`` the per-URL collapse is a join against the
+    distinct-host→tpd mapping (the matcher never touches |urls| rows)."""
     hm = build_host_map(urls, url_col, top_private_domain)
-    h = host_of(url_col)
+    out = urls.withColumn("host", host_of(url_col))
     if top_private_domain:
-        h = top_private_domain_of(h)
-    return urls.withColumn("host", h).join(hm, "host")
+        out = (
+            top_private_domain_join(out, "host")
+            .drop("host")
+            .withColumnRenamed("tpd", "host")
+        )
+    return out.join(hm, "host")

@@ -34,19 +34,36 @@ Filter parity with ``webbase.c``:
   ``http`` (case-SENSITIVE ``strncmp``, ``:81`` — unlike the page check),
   then protocol-lowercased.
 
+Node identity and link matching use the reference's ``URL2`` normalization
+(``webbase/URL2.java:217-487``): Hasher keys pages by
+``CRC64(new URL2(url).toString())`` and the Converter resolves each outlink
+by raw CRC first, then by its URL2-normalized CRC (``Converter.java:115-125``)
+— since normalization is idempotent on its own image, both probes together
+equal "match by normalized form", which is what :func:`normalize_url2`
+implements as pure column expressions (scheme + host lowercased, first-``@``
+userinfo split, ``:80`` / unparsable ports dropped, one trailing host dot
+removed, fragment stripped, empty path → ``/``, slash runs collapsed in the
+path, ``/`` → ``%2F`` in the query, non-ASCII UTF-8 %-encoded uppercase; no
+dot-segment removal — the Converter parses absolute specs, for which URL2
+skips it).
+
 Documented deviations: ids are minted in URL sort order (deterministic at
 any parallelism) rather than the single-reader first-seen order — the same
-deviation :func:`read_scattered_arcs` documents — and link matching is by
-exact string after protocol lowercasing, without the reference's ``URL2``
-normalization pass (``webbase/URL2.java`` — host-case/port/escape
-canonicalization; out of semantic scope here, noted as such).
+deviation :func:`read_scattered_arcs` documents; the node map's ``key`` is
+the NORMALIZED url (the reference's ``.urls`` file keeps the raw first-seen
+spelling); when two crawled pages normalize to the same URL, the kept link
+list is the one from the lexicographically-smallest raw url (the reference
+keeps the first-seen page's line, an input-order notion); ``+``-signed or
+> 9-digit port strings parse as "no port" rather than replaying
+``Integer.parseInt`` overflow; lone-surrogate input (which would make the
+reference's UTF-8 encoder throw and the URL invalid) passes through.
 """
 
 from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from webgraph_spark.sources.ids import mint_dense_ids, remap_edges
@@ -62,6 +79,100 @@ def _fix_protocol(col):
         F.lower(F.regexp_extract(col, "^[A-Za-z]*", 0)),
         F.regexp_replace(col, "^[A-Za-z]*", ""),
     )
+
+
+def _pct_encode_non_ascii(c):
+    """``URL2.normalizeURLFragment``: chars > 0x7F become the %XX (uppercase
+    hex) encoding of their UTF-8 bytes; ASCII passes through untouched. The
+    all-ASCII fast path (one ``rlike``) skips the per-char transform."""
+    encoded = F.array_join(
+        F.transform(
+            F.split(c, ""),
+            lambda ch: F.when(ch <= F.lit("\x7f"), ch).otherwise(
+                F.regexp_replace(F.hex(F.encode(ch, "UTF-8")), "(..)", "%$1")
+            ),
+        ),
+        "",
+    )
+    return F.when(c.rlike("[^\\x00-\\x7F]"), encoded).otherwise(c)
+
+
+def normalize_url2(col):
+    """Column expression replaying ``URL2(spec).toString()`` for the absolute
+    specs the Converter feeds it (``webbase/URL2.java:217-487``; semantics
+    list in the module docstring). Specs without an ``//`` authority — which
+    the webbase.c filters never let through — fall back to
+    scheme-lowercasing only."""
+    u = col if isinstance(col, Column) else F.col(col)
+    # whitespace trim (chars <= 0x20), optional case-insensitive "url:"
+    # prefix, fragment strip, then re-trim before-the-# trailing whitespace
+    u = F.regexp_replace(u, r"^[\x00-\x20]+|[\x00-\x20]+$", "")
+    u = F.regexp_replace(u, r"^(?i)url:", "")
+    u = F.regexp_replace(u, r"(?s)#.*$", "")
+    u = F.regexp_replace(u, r"[\x00-\x20]+$", "")
+
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*):", 1))
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.\-]*:", "")
+
+    apq = F.substring(rest, 3, 1 << 30)  # after "//"
+    auth = F.regexp_extract(apq, r"^([^/?]*)", 1)
+    pathq = F.regexp_replace(apq, r"^[^/?]*", "")
+
+    # query = after the FIRST '?' — but a trailing bare '?' stays in the
+    # path (URL2 only splits when queryStart+1 < limit)
+    qpos = F.instr(pathq, "?")
+    has_q = (qpos > 0) & (qpos < F.length(pathq))
+    path = F.when(has_q, F.regexp_extract(pathq, r"^([^?]*)", 1)).otherwise(
+        pathq
+    )
+    query = F.when(has_q, F.regexp_replace(pathq, r"^[^?]*\?", ""))
+
+    # authority: userinfo (before FIRST '@', case kept) / host (lowercased)
+    # / port (after FIRST ':'; digits-only else "no port"; 80 == default)
+    has_ui = F.instr(auth, "@") > 0
+    userinfo = F.when(has_ui, F.regexp_extract(auth, r"^([^@]*)@", 1))
+    hostport = F.lower(
+        F.when(has_ui, F.regexp_replace(auth, r"^[^@]*@", "")).otherwise(auth)
+    )
+    has_port = F.instr(hostport, ":") > 0
+    host = F.when(
+        has_port, F.regexp_extract(hostport, r"^([^:]*)", 1)
+    ).otherwise(hostport)
+    portstr = F.when(has_port, F.regexp_replace(hostport, r"^[^:]*:", ""))
+    port = F.when(
+        portstr.rlike(r"^[0-9]{1,9}$"), portstr.cast("long")
+    ).otherwise(F.lit(-1))
+    host = F.regexp_replace(host, r"\.$", "")
+    authority = F.concat(
+        F.when(
+            userinfo.isNotNull() & (userinfo != ""),
+            F.concat(userinfo, F.lit("@")),
+        ).otherwise(F.lit("")),
+        host,
+        F.when(
+            (port != -1) & (port != 80),
+            F.concat(F.lit(":"), port.cast("string")),
+        ).otherwise(F.lit("")),
+    )
+
+    # path: empty -> "/", slash runs collapse; query: "/" -> "%2F";
+    # both non-ASCII %-encoded
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    path = _pct_encode_non_ascii(F.regexp_replace(path, "/{2,}", "/"))
+    query = _pct_encode_non_ascii(F.regexp_replace(query, "/", "%2F"))
+
+    normalized = F.concat(
+        scheme,
+        F.lit("://"),
+        authority,
+        path,
+        F.when(query.isNotNull(), F.concat(F.lit("?"), query)).otherwise(
+            F.lit("")
+        ),
+    )
+    return F.when(
+        (scheme != "") & rest.startswith("//"), normalized
+    ).otherwise(_fix_protocol(u))
 
 
 def read_webbase_pages(spark: SparkSession, path: str) -> DataFrame:
@@ -97,16 +208,34 @@ def read_webbase_pages(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def webbase_to_graph(pages: DataFrame) -> tuple[DataFrame, DataFrame]:
+def webbase_to_graph(
+    pages: DataFrame, normalize: bool = True
+) -> tuple[DataFrame, DataFrame]:
     """Hasher + Converter: ``(node_map(id, key), edges(src, dst))``.
 
-    Only PAGE urls get ids (the CRC map holds crawled pages, nothing else);
-    outlinks resolve by inner join — unresolved = the Converter's "broken
-    links", dropped — and duplicate arcs collapse ("double links",
-    ``Converter.java:124``)."""
-    node_map = mint_dense_ids(pages.select(F.col("url").alias("key")), ["key"])
-    raw = pages.select(
-        F.col("url").alias("k_src"), F.explode("links").alias("k_dst")
+    Page identity and link resolution are by URL2-NORMALIZED url
+    (``Hasher.java:58-69`` keys the CRC map on the normalized string;
+    ``Converter.java:115-125``'s raw-then-normalized double probe reduces
+    to the normalized match — module docstring). Only PAGE urls get ids
+    (the CRC map holds crawled pages, nothing else); outlinks resolve by
+    inner join — unresolved = the Converter's "broken links", dropped —
+    and duplicate arcs collapse ("double links", ``Converter.java:124``).
+    Pages colliding after normalization keep one deterministic link list
+    (min raw url — the "doubles" rule, ``Hasher.java:70-74``).
+    ``normalize=False`` restores exact-string matching (the round-2/3
+    behavior) for debugging."""
+    key = normalize_url2(F.col("url")) if normalize else F.col("url")
+    pg = pages.select(key.alias("key"), F.col("url").alias("__raw"), "links")
+    if normalize:
+        pg = pg.groupBy("key").agg(F.min_by("links", "__raw").alias("links"))
+    node_map = mint_dense_ids(pg.select("key"), ["key"])
+    raw = pg.select(
+        F.col("key").alias("k_src"), F.explode("links").alias("l")
+    ).select(
+        "k_src",
+        (normalize_url2(F.col("l")) if normalize else F.col("l")).alias(
+            "k_dst"
+        ),
     )
     edges = remap_edges(raw, node_map, src_key=["k_src"], dst_key=["k_dst"])
     return node_map, edges
