@@ -87,11 +87,14 @@ def main() -> None:
     ap.add_argument("--pagerank-only", action="store_true",
                     help="derive + CSR + PageRank only (scaling experiments)")
     ap.add_argument("--reps", type=int, default=int(os.environ.get(
-        "SPARK_GRAFT_BENCH_REPS", "2")),
+        "SPARK_GRAFT_BENCH_REPS", "3")),
         help="independent suite passes; per-query wall = min over passes "
         "(the reference's own SpeedTest protocol: warmup + repeats, "
         "test/SpeedTest.java:45-46 — a shared host only ever ADDS time, "
-        "so the min is the engine's number, not the noise's)")
+        "so the min is the engine's number, not the noise's). Default 3: "
+        "rep 1 is JIT/daemon-cold (r3 measured 89s vs 61s rep totals), so "
+        "2 reps leave every min resting on ONE warm sample — too few to "
+        "tell a regression from noise")
     args = ap.parse_args()
     sf_dir = args.sf_dir.rstrip("/")
     sf = sf_dir.rsplit("sf", 1)[-1] if "sf" in sf_dir else sf_dir

@@ -139,3 +139,57 @@ def test_block_cc_and_lpa_resume_exact(spark, tmp_path):
     la = {r["id"]: r["label"] for r in lfull.labels.collect()}
     lb = {r["id"]: r["label"] for r in lres.labels.collect()}
     assert la == lb
+
+
+def test_resume_from_partially_written_iteration(spark, tmp_path):
+    """Kill-mid-WRITE drill (round-3 verdict item 10): a run killed while
+    iteration k+1's state parquet was still streaming into its staging dir
+    leaves `iter=NNNNNN.tmp-<uuid>` + a `.parquet.tmp` lineage file behind.
+    The atomic-rename contract says those partial artifacts are invisible:
+    resume sees k as latest, re-runs k+1, publishes it cleanly, and the
+    final state matches an uninterrupted run."""
+    import os
+
+    n = 80
+    arcs = er_arcs(n, 0.05, 4)
+    edges = spark.createDataFrame(arcs, "src long, dst long")
+    nodes = spark.range(n).selectExpr("id")
+    csr = build_csr(edges, num_blocks=3)
+
+    full = pagerank(spark, csr, nodes, tol=1e-10, max_iter=60)
+    assert full.converged
+
+    root = str(tmp_path / "ck")
+    ck = CheckpointManager(spark, root, run_id="k1")
+    pagerank(spark, csr, nodes, tol=1e-10, max_iter=3, checkpointer=ck)
+
+    # simulate the kill: a half-written iteration-4 staging dir (truncated,
+    # unreadable parquet bytes) and its in-flight lineage temp file
+    partial = os.path.join(root, "state", "iter=000004.tmp-deadbeef")
+    os.makedirs(partial)
+    with open(os.path.join(partial, "part-00000.parquet"), "wb") as f:
+        f.write(b"PAR1\x00\x01truncated-mid-write")
+    with open(
+        os.path.join(root, "lineage", "iter_000004.parquet.tmp"), "wb"
+    ) as f:
+        f.write(b"PAR1\x00garbage")
+
+    # read side: partial artifacts are invisible
+    ck2 = CheckpointManager(spark, root, run_id="k2")
+    assert ck2.latest_iteration() == 3
+    assert set(ck2.lineage()["iteration"]) == {1, 2, 3}
+
+    # resume re-runs iteration 4 and publishes it over the wreckage
+    resumed = pagerank(
+        spark, csr, nodes, tol=1e-10, max_iter=60,
+        checkpointer=ck2, initial_ranks=ck2.load_iteration(3),
+        start_iteration=3,
+    )
+    assert resumed.converged
+    assert np.allclose(_vec(full.ranks, n), _vec(resumed.ranks, n), atol=1e-12)
+    # iteration 4 is now a clean publish: readable state + exactly one
+    # lineage record; the stale staging dir still doesn't surface
+    assert ck2.load_iteration(4).count() == n
+    lin4 = ck2.lineage().query("iteration == 4")
+    assert lin4["row_count"].sum() == n
+    assert lin4["run_id"].unique().tolist() == ["k2"]

@@ -20,6 +20,7 @@ which spill but cannot resume). Design:
 from __future__ import annotations
 
 import os
+import re
 import shutil
 import uuid
 from collections.abc import Iterator
@@ -95,11 +96,18 @@ class CheckpointManager:
 
     # -- read path ------------------------------------------------------------
     def latest_iteration(self) -> int | None:
+        """Greatest PUBLISHED iteration. Only exact ``iter=NNNNNN`` names
+        count: a run killed mid-write leaves ``iter=NNNNNN.tmp-<uuid>``
+        staging dirs behind, and those must be invisible to resume — the
+        atomic-rename contract's read side. (The pre-round-4 filter keyed
+        on ``endswith(".tmp")``, which never matches the uuid-suffixed
+        staging names, so a partial dir crashed the int parse.)"""
         state_dir = os.path.join(self.root, "state")
+        pat = re.compile(r"^iter=(\d{6})$")
         iters = [
-            int(name.split("=")[1])
+            int(m.group(1))
             for name in os.listdir(state_dir)
-            if name.startswith("iter=") and not name.endswith(".tmp")
+            if (m := pat.match(name))
         ]
         return max(iters) if iters else None
 
