@@ -167,7 +167,7 @@ from bench import build_edges
 import pyspark.sql.functions as F
 spark = get_spark(master="local[{cpus}]", shuffle_partitions={parts},
                   extra_conf={{"spark.ui.enabled": "false",
-                               "spark.driver.memory": "32g"}})
+                               "spark.driver.memory": {mem!r}}})
 spark.sparkContext.setLogLevel("ERROR")
 edges = build_edges(spark, {sf_dir!r}, {multiplier}).persist()
 m = edges.count()
@@ -235,6 +235,17 @@ def run_job(rounds, warm=False):
         res = label_propagation_block(spark, csr_shared, nodes, max_iter=rounds)
         res.labels.count()
         return res.iterations
+    if job == "hyperball":
+        # the designated scale substitute for every pair-state operator
+        # (geometric centralities, NF, top-k pruning all ride on it);
+        # register state is O(n * 2^log2m) bytes of BINARY columns, so this
+        # also puts the binary-column shuffle path through the pinned
+        # protocol. Fixed round cap like the other fixpoints: both levels
+        # execute the identical deterministic register-update sequence.
+        from webgraph_spark.algo.hyperball import hyperball
+        res = hyperball(edges, nodes, log2m=6, max_iter=rounds)
+        res.state.unpersist()
+        return res.iterations
     if job == "bfs":
         from webgraph_spark.algo.bfs import bfs_distances
         # one source per salted copy (the multiplied graph is {multiplier}
@@ -292,11 +303,11 @@ print("JSON" + json.dumps({{"m": m, "wall": round(wall, 3),
 
 def run_fixpoint_once(job: str, cpus: int, multiplier: int, iters: int,
                       sf_dir: str, pin: bool = False,
-                      parts: int | None = None) -> dict:
+                      parts: int | None = None, mem: str = "32g") -> dict:
     code = _FIXPOINT_RUNNER.format(
         root=ROOT, cpus=cpus, sf_dir=sf_dir, multiplier=multiplier,
         iters=iters, pin=pin, last=cpus - 1, job=job,
-        parts=parts or cpus,
+        parts=parts or cpus, mem=mem,
     )
     proc = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True,
@@ -317,7 +328,7 @@ def run_fixpoint_once(job: str, cpus: int, multiplier: int, iters: int,
 
 def run_fixpoint_suite(jobs: list[str], n: int, multiplier: int, iters: int,
                        reps: int, sf_dir: str, pin: bool,
-                       parts: int | None = None) -> None:
+                       parts: int | None = None, mem: str = "32g") -> None:
     """Measure each fixpoint job at pinned N and 4N cores (interleaved
     reps) and merge the results into BENCH_SCALING.json under
     ``fixpoint_suite`` — evidence that the O(state)-shuffle claim of the
@@ -341,9 +352,9 @@ def run_fixpoint_suite(jobs: list[str], n: int, multiplier: int, iters: int,
         lo_runs, hi_runs, pair_eff = [], [], []
         for _ in range(reps):
             lo_runs.append(run_fixpoint_once(job, n, multiplier, iters,
-                                             sf_dir, pin, parts))
+                                             sf_dir, pin, parts, mem))
             hi_runs.append(run_fixpoint_once(job, n * 4, multiplier, iters,
-                                             sf_dir, pin, parts))
+                                             sf_dir, pin, parts, mem))
             pair_eff.append(round(
                 (lo_runs[-1]["wall"] / hi_runs[-1]["wall"]) / 4.0, 3))
         lo = min(r["wall"] for r in lo_runs)
@@ -427,16 +438,21 @@ def main() -> None:
                     "levels of the fixpoint suite (default: 4N). Raise to "
                     "a small multiple of 4N for skew-prone one-shot jobs "
                     "(triangles) so hi-level stragglers can load-balance.")
+    ap.add_argument("--driver-mem", default="32g",
+                    help="JVM heap for each fixpoint-runner subprocess "
+                    "(both levels; raise for multiplier >= 256 so the "
+                    "persisted ~1GB-per-64x edge cache and shuffle "
+                    "buffers don't force avoidable spill).")
     args = ap.parse_args()
 
     jobs = [j.strip() for j in args.jobs.split(",") if j.strip()]
     fixpoint_jobs = [j for j in jobs if j in (
-        "cc", "cc_block", "lpa", "lpa_block", "bfs", "triangles",
-        "triangles_wedge", "triangles_wagg")]
+        "cc", "cc_block", "lpa", "lpa_block", "bfs", "hyperball",
+        "triangles", "triangles_wedge", "triangles_wagg")]
     if fixpoint_jobs:
         run_fixpoint_suite(fixpoint_jobs, args.n, args.multiplier,
                            args.fixpoint_iters, args.reps, args.sf_dir,
-                           args.pin, args.parts)
+                           args.pin, args.parts, args.driver_mem)
     if "pagerank" not in jobs:
         return
 

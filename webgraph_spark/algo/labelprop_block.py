@@ -35,6 +35,15 @@ packed — no JVM row overhead); per-edge CPU is one gather + one lexsort per
 round, all inside numpy. Like the PageRank block kernel this assumes
 reasonably dense node ids (``sources/ids.mint_dense_ids`` is the standard
 preprocessing, exactly as WebGraph renumbers to 0..n-1).
+
+THIS KERNEL IS THE DESIGNATED LPA SCALE PATH (round 4): under the pinned
+two-level protocol it measures scaling efficiency 1.01 at 113.7M edges
+(``BENCH_SCALING.json`` ``fixpoint_suite.lpa_block``, 2 interleaved reps)
+— the only LPA formulation measured ≥ 0.8 — while the row kernel measures
+0.695 at the same size (on the PageRank work-per-iteration trend curve,
+docs/SCALING.md §7b, but not measured over the gate at any size). Capacity
+claims for LPA at cluster scale cite this kernel; the row kernel remains
+the small-graph/ad-hoc path and the differential-test twin.
 """
 
 from __future__ import annotations
