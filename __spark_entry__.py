@@ -1265,7 +1265,11 @@ def _q_host_map(spark, sf_dir):
     2-label registry suffixes (``co.kr`` was NOT in the round-2/3 embedded
     subset — it exercises the full list); ``.ck`` the wildcard rule
     ``*.ck`` (every <label>.ck is a public suffix) and, via the planted
-    ``www.ck`` hosts, the exception rule ``!www.ck``."""
+    ``www.ck`` hosts, the exception rule ``!www.ck``; the planted
+    ``x.ec2-N.us-east-1.compute.amazonaws.com`` hosts the DEEP private
+    wildcard ``*.compute.amazonaws.com`` (round-5 upstream-parity fix:
+    the round-4 snapshot carried the exact rule) — only the join matcher
+    expresses 4-label wildcards, so this pins build_host_map to it."""
     from webgraph_spark.sources.hosts import build_host_map
 
     docs = _docs(spark, sf_dir)
@@ -1286,6 +1290,12 @@ def _q_host_map(spark, sf_dir):
     ).when(
         F.col("doc_id") % 23 == 0,
         F.concat(F.lit("https://www.ck/e/"), F.col("doc_id")),
+    ).when(
+        F.col("doc_id") % 29 == 0,
+        F.concat(
+            F.lit("https://x.ec2-"), F.col("doc_id") % 5,
+            F.lit(".us-east-1.compute.amazonaws.com/i"),
+        ),
     ).otherwise(
         F.concat(
             F.lit("https://"), sub, F.lit("."), F.col("source"),
@@ -2165,6 +2175,9 @@ WITH urls AS (SELECT CASE WHEN doc_id % 17 = 0
     THEN 'http://10.0.' || (doc_id % 250)::VARCHAR || '.7/x'
     WHEN doc_id % 23 = 0
     THEN 'https://www.ck/e/' || doc_id::VARCHAR
+    WHEN doc_id % 29 = 0
+    THEN 'https://x.ec2-' || (doc_id % 5)::VARCHAR
+      || '.us-east-1.compute.amazonaws.com/i'
     ELSE 'https://' || ['www','cdn','a1.b2'][(doc_id % 3 + 1)::INT] || '.'
       || source || '.'
       || ['com','co.uk','org','internal','co.kr','ck'][(doc_id % 6 + 1)::INT]
@@ -2178,6 +2191,12 @@ tpd AS (SELECT host, CASE
     THEN host
   WHEN len(l) >= 2 AND (l[-2] || '.' || l[-1]) = 'www.ck'
     THEN 'www.ck'
+  WHEN len(l) = 4 AND (l[-3] || '.' || l[-2] || '.' || l[-1])
+       = 'compute.amazonaws.com'
+    THEN host
+  WHEN len(l) >= 5 AND (l[-3] || '.' || l[-2] || '.' || l[-1])
+       = 'compute.amazonaws.com'
+    THEN l[-5] || '.' || l[-4] || '.' || l[-3] || '.' || l[-2] || '.' || l[-1]
   WHEN len(l) >= 3 AND ((l[-2] || '.' || l[-1]) IN ('co.uk','co.kr')
                         OR l[-1] = 'ck')
     THEN l[-3] || '.' || l[-2] || '.' || l[-1]

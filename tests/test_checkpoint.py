@@ -193,3 +193,116 @@ def test_resume_from_partially_written_iteration(spark, tmp_path):
     lin4 = ck2.lineage().query("iteration == 4")
     assert lin4["row_count"].sum() == n
     assert lin4["run_id"].unique().tolist() == ["k2"]
+
+
+def test_pagerank_block_sigkill_mid_fixpoint_resume(spark, tmp_path):
+    """Round-4 verdict item 7: the drill above simulates the kill's
+    filesystem wreckage; this one actually DELIVERS it. A separate driver
+    process runs pagerank_block with per-iteration checkpoints and is
+    SIGKILL'd (whole process group — JVM included) as soon as iteration 3
+    publishes, i.e. mid-fixpoint and quite possibly mid-write of the next
+    iteration. Resume from whatever survived must hash-match an
+    uninterrupted run of the same deterministic arithmetic.
+
+    The victim SAVES its CSR layout (block cuts included) and the resumer
+    loads it rather than rebuilding: block cuts come from approxQuantile,
+    whose sketch depends on input partitioning, so a layout rebuilt in a
+    different session need not match the checkpointed block state — at
+    scale the layout is a persisted table and resume reads THE layout the
+    killed run used (same contract as BVGraph's offsets living next to
+    the graph file)."""
+    import json
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    from webgraph_spark.algo.pagerank_block import pagerank_block
+    from webgraph_spark.plans.csr import CsrGraph
+
+    n = 120
+    root = str(tmp_path / "killdrill")
+    csr_path = str(tmp_path / "csr")
+    script = tmp_path / "victim.py"
+    script.write_text(
+        f"""
+import sys
+sys.path.insert(0, {repr(os.getcwd())})
+from tests.oracles import er_arcs
+from webgraph_spark.algo.pagerank_block import pagerank_block
+from webgraph_spark.checkpoint import CheckpointManager
+from webgraph_spark.plans.csr import build_csr
+from webgraph_spark.session import get_spark
+from webgraph_spark.sources.tables import save_csr
+
+spark = get_spark("kill-victim", master="local[2]", shuffle_partitions=2,
+                  extra_conf={{"spark.ui.enabled": "false",
+                               "spark.driver.memory": "2g"}})
+edges = spark.createDataFrame(er_arcs({n}, 0.05, 4), "src long, dst long")
+csr = build_csr(edges, num_blocks=3)
+save_csr(csr.blocks, {repr(csr_path)},
+         properties={{"cuts": csr.cuts, "num_edges": csr.num_edges}})
+ck = CheckpointManager(spark, {repr(root)}, run_id="victim")
+pagerank_block(spark, csr, spark.range({n}).selectExpr("id"),
+               tol=0.0, max_iter=12, extrapolate=False, checkpointer=ck)
+"""
+    )
+    env = dict(os.environ, PYTHONPATH=os.getcwd())
+    proc = subprocess.Popen(
+        [sys.executable, str(script)], cwd=os.getcwd(), env=env,
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        start_new_session=True,  # own process group: the kill takes the JVM too
+    )
+    state_dir = os.path.join(root, "state")
+    deadline = time.time() + 180
+    try:
+        while time.time() < deadline and proc.poll() is None:
+            if os.path.isdir(os.path.join(state_dir, "iter=000003")):
+                os.killpg(proc.pid, signal.SIGKILL)
+                break
+            time.sleep(0.05)
+        else:
+            if proc.poll() is None:
+                os.killpg(proc.pid, signal.SIGKILL)
+                raise AssertionError("victim never published iteration 3")
+        proc.wait(timeout=30)
+    finally:
+        if proc.poll() is None:
+            os.killpg(proc.pid, signal.SIGKILL)
+
+    ck2 = CheckpointManager(spark, root, run_id="resumer")
+    latest = ck2.latest_iteration()
+    assert latest is not None and 3 <= latest <= 12
+
+    with open(os.path.join(csr_path, "_meta.json")) as f:
+        meta = json.load(f)
+    csr = CsrGraph(
+        blocks=spark.read.parquet(csr_path),
+        cuts=meta["cuts"],
+        num_edges=meta["num_edges"],
+    )
+    nodes = spark.range(n).selectExpr("id")
+    full = pagerank_block(spark, csr, nodes, tol=0.0, max_iter=12,
+                          extrapolate=False)
+    resumed = pagerank_block(
+        spark, csr, nodes, tol=0.0, max_iter=12, extrapolate=False,
+        initial_state=ck2.load_iteration(latest), start_iteration=latest,
+    )
+    # fixed-iteration, no extrapolation: identical arithmetic -> exact match
+    assert np.allclose(_vec(full.ranks, n), _vec(resumed.ranks, n), atol=0.0)
+
+
+def test_latest_iteration_widths_beyond_six_digits(spark, tmp_path):
+    """f"{i:06d}" is a MINIMUM width: iteration 1,000,000 publishes a
+    7-digit dir and must stay visible to resume (the {6,} regex), while
+    staging dirs of any width stay invisible."""
+    import os
+
+    root = str(tmp_path / "wide")
+    ck = CheckpointManager(spark, root, run_id="w")
+    sd = os.path.join(root, "state")
+    os.makedirs(os.path.join(sd, "iter=000007"))
+    os.makedirs(os.path.join(sd, "iter=1000000"))
+    os.makedirs(os.path.join(sd, "iter=1000001.tmp-deadbeef"))
+    assert ck.latest_iteration() == 1_000_000

@@ -146,6 +146,10 @@ def test_url2_normalize_column(spark):
         "http://a.test:8080/x": "http://a.test:8080/x",
         "http://a.test:0080/x": "http://a.test/x",  # parseInt("0080") == 80
         "http://a.test:bad/x": "http://a.test/x",   # unparsable port dropped
+        # parseInt accepts any int-range port (URL2.java:376); only a
+        # genuine overflow (> 2^31-1) lands in the catch -> "no port"
+        "http://a.test:1234567890/x": "http://a.test:1234567890/x",
+        "http://a.test:9999999999/x": "http://a.test/x",
         "http://a.test./": "http://a.test/",
         "http://a.test/x#frag": "http://a.test/x",
         "http://a.test//x///y": "http://a.test/x/y",

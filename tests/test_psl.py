@@ -36,12 +36,34 @@ CASES = {
     "foo.blogspot.com": "foo.blogspot.com",
     # 3-label private rule
     "c.b.s3.amazonaws.com": "b.s3.amazonaws.com",
+    # a host that IS a 3-label rule stays unchanged (publicSuffixIndex==0
+    # gate — the round-5 fast-path fix's divergent case)
+    "s3.amazonaws.com": "s3.amazonaws.com",
     # unknown TLD -> unchanged (isUnderPublicSuffix gate)
     "svc.cluster.internal": "svc.cluster.internal",
     # dotted / hex addresses never collapse
     "10.0.3.7": "10.0.3.7",
     "0x7f.0x0.0x0.0x1": "0x7f.0x0.0x0.0x1",
     "fe80:1:2": "fe80:1:2",
+}
+
+# Rules DEEPER than the fast path expresses (4-label wildcards): join
+# matcher only — the fast path documents that it cannot express these and
+# deliberately falls back to shallower matches (hosts.py module docstring).
+DEEP_CASES = {
+    # *.compute.amazonaws.com: every <region>.compute.amazonaws.com is a
+    # public suffix, so the ec2 host itself is the registrable domain
+    "ec2-54-0-0-1.us-east-1.compute.amazonaws.com":
+        "ec2-54-0-0-1.us-east-1.compute.amazonaws.com",
+    "x.ec2-host.eu-west-2.compute.amazonaws.com":
+        "ec2-host.eu-west-2.compute.amazonaws.com",
+    # a host that IS a wildcard-matched 4-label suffix stays unchanged
+    "us-east-1.compute.amazonaws.com": "us-east-1.compute.amazonaws.com",
+    # compute.amazonaws.com matches NO rule after the upstream-parity fix
+    # (upstream has *.compute.amazonaws.com, not the exact rule the
+    # round-4 snapshot carried) -> amazonaws.com under the .com rule
+    "compute.amazonaws.com": "amazonaws.com",
+    "x.a.b.elb.amazonaws.com": "a.b.elb.amazonaws.com",
 }
 
 
@@ -51,22 +73,28 @@ def test_load_rules_shape():
     keys = {k for k, _ in rules}
     assert "co.kr" in keys and "com.tr" in keys and "*.ck" in keys
     assert ("www.ck", True) in rules  # exception parsed, '!' stripped
-    assert psl_max_labels() >= 3
+    # upstream-parity: the compute rule is the 4-label WILDCARD, not the
+    # exact rule the round-4 snapshot carried
+    assert "*.compute.amazonaws.com" in keys
+    assert "compute.amazonaws.com" not in keys
+    assert psl_max_labels() >= 4
 
 
 def test_join_matcher_semantics(spark):
-    df = spark.createDataFrame([(h,) for h in CASES], "host string")
+    all_cases = {**CASES, **DEEP_CASES}
+    df = spark.createDataFrame([(h,) for h in all_cases], "host string")
     got = {
         r["host"]: r["tpd"]
         for r in top_private_domain_join(df, "host").collect()
     }
-    assert got == CASES
+    assert got == all_cases
 
 
 def test_fast_path_agrees_with_join_matcher(spark):
-    """The column fast path expresses every rule shape in the packaged
-    snapshot (<=3-label exact, 2-label wildcard/exception), so on these
-    hosts the two paths must be identical."""
+    """On hosts governed by rule shapes the column fast path expresses
+    (<=3-label exact, 2-label wildcard/exception) the two paths must be
+    identical; DEEP_CASES (4-label wildcards) are join-matcher-only by
+    design and excluded here."""
     df = spark.createDataFrame([(h,) for h in CASES], "host string")
     out = top_private_domain_join(df, "host").withColumn(
         "fast", top_private_domain_of("host")

@@ -101,9 +101,15 @@ class CheckpointManager:
         staging dirs behind, and those must be invisible to resume — the
         atomic-rename contract's read side. (The pre-round-4 filter keyed
         on ``endswith(".tmp")``, which never matches the uuid-suffixed
-        staging names, so a partial dir crashed the int parse.)"""
+        staging names, so a partial dir crashed the int parse.)
+
+        ``{6,}``, not ``{6}``: ``f"{iteration:06d}"`` is a MINIMUM width —
+        iteration ≥ 1,000,000 publishes a 7-digit name, which an
+        exact-width pattern would silently hide from resume. Any
+        fully-published width matches; uuid-suffixed staging dirs still
+        don't."""
         state_dir = os.path.join(self.root, "state")
-        pat = re.compile(r"^iter=(\d{6})$")
+        pat = re.compile(r"^iter=(\d{6,})$")
         iters = [
             int(m.group(1))
             for name in os.listdir(state_dir)

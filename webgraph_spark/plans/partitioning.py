@@ -124,29 +124,12 @@ def symmetrize_for_join(
     )
 
 
-def _estimated_scan_partitions(spark, files: list[str]) -> int | None:
-    """FileSourceScan partition count, computed driver-side from the file
-    listing by replaying Spark's own split sizing + packing
-    (``FilePartition.maxSplitBytes`` / ``getFilePartitions``: maxSplit =
-    min(maxPartitionBytes, max(openCostInBytes, padded_bytes /
-    minPartitionNum)); files cut into maxSplit chunks, chunks sorted desc
-    and greedily packed, each chunk padding the accumulator by openCost).
-    No physical planning, no RDD conversion, no job. ``None`` when a size
-    can't be read (remote URI) — the caller treats that as unknown.
-
-    Whole-file codecs (.gz etc.) scan as exactly one partition per file
-    regardless of size, so their estimate is the file count.
-    """
-    unsplittable = (".gz", ".zst", ".zstd", ".lz4", ".sz", ".deflate")
-    if any(u.lower().endswith(unsplittable) for u in files):
-        return len(files)
-    sizes: list[int] = []
-    try:
-        for uri in files:
-            path = uri[len("file:"):] if uri.startswith("file:") else uri
-            sizes.append(os.path.getsize(path))
-    except OSError:
-        return None
+def _estimated_scan_partitions_from_sizes(
+    spark, sizes: list[int], whole_file: bool = False
+) -> int:
+    """Replay Spark's split sizing + packing over known file sizes."""
+    if whole_file:
+        return len(sizes)
     open_cost = _size_conf(spark, "spark.sql.files.openCostInBytes",
                            4 * 1024 * 1024)
     max_part = _size_conf(spark, "spark.sql.files.maxPartitionBytes",
@@ -177,20 +160,70 @@ def _estimated_scan_partitions(spark, files: list[str]) -> int | None:
     return parts + (1 if cur > 0 else 0)
 
 
+def _estimated_scan_partitions(spark, files: list[str]) -> int | None:
+    """FileSourceScan partition count, computed driver-side from the file
+    listing by replaying Spark's own split sizing + packing
+    (``FilePartition.maxSplitBytes`` / ``getFilePartitions``: maxSplit =
+    min(maxPartitionBytes, max(openCostInBytes, padded_bytes /
+    minPartitionNum)); files cut into maxSplit chunks, chunks sorted desc
+    and greedily packed, each chunk padding the accumulator by openCost).
+    No physical planning, no RDD conversion, no job. ``None`` when a size
+    can't be read (remote URI) — the caller treats that as unknown.
+
+    Whole-file codecs (.gz etc.) scan as exactly one partition per file
+    regardless of size, so their estimate is the file count.
+    """
+    unsplittable = (".gz", ".zst", ".zstd", ".lz4", ".sz", ".deflate")
+    if any(u.lower().endswith(unsplittable) for u in files):
+        return len(files)
+    sizes: list[int] = []
+    try:
+        for uri in files:
+            path = uri[len("file:"):] if uri.startswith("file:") else uri
+            sizes.append(os.path.getsize(path))
+    except OSError:
+        return None
+    return _estimated_scan_partitions_from_sizes(spark, sizes)
+
+
 def _local_leaf_partition_probe(df: DataFrame) -> int | None:
-    """Partition-count evidence from the ANALYZED logical plan (a py4j leaf
-    walk — no physical planning, no DataFrame.rdd conversion). Returns 0
-    for driver-local leaves (LocalRelation / OneRowRelation / Range — by
-    construction small, worth widening) and for LogicalRDD leaves with
-    unknown partitioning (PySpark ``createDataFrame`` output — also
-    driver-created; file/catalog relations never analyze to this shape), a
-    LogicalRDD's carried partition count when it has one, and ``None``
-    when the plan has leaves this can't reason about (external/DSv2
+    """Per-leaf partition-count evidence from the OPTIMIZED logical plan
+    (a py4j leaf walk — no full physical planning, no ``DataFrame.rdd``
+    conversion of the query). ``max`` over leaves:
+
+    - LocalRelation / OneRowRelation / Range → 0 (driver-local, by
+      construction small, worth widening);
+    - LogicalRDD → its carried partition count (0 when unknown — PySpark
+      ``createDataFrame`` output, also driver-created);
+    - InMemoryRelation (a ``persist()``ed subtree — ``inputFiles()`` is
+      empty for these, which is exactly why this probe must handle them:
+      round 4 shipped without it and the bench's persisted documents
+      table ran the SimHash signature stage on ONE core, +53% wall) →
+      the cached RDD's partition count. ``cachedColumnBuffers`` only
+      CONSTRUCTS the RDD lineage for the cached subtree (no job); for a
+      bench-style already-materialized cache it is a field read.
+    - LogicalRelation (a file scan leaf — appears here when the frame
+      MIXES a file side with local/cached leaves, the round-4 gap) → the
+      same split-packing estimate as the fast path; when the files can't
+      be stat'd (remote URIs) fall back to the relation's catalog
+      ``sizeInBytes`` treated as one blob — a lower bound on splits,
+      which can only over-widen a genuinely big remote input, never
+      under-parallelize a small one (the measured 30 s pathology).
+
+    ``None`` only for leaves this can't reason about (DSv2/external
     relations — treated as already-wide and passed through: those have
     scan-side parallelism knobs of their own, and a blind full-data
-    shuffle is the costlier mistake at scale)."""
+    shuffle is the costlier mistake at scale).
+
+    The walk runs on a FRESH query execution (``df.select("*")``): a
+    Dataset memoizes its QueryExecution at first access, so a frame
+    planned before ``persist()`` would otherwise still show the
+    pre-cache plan and miss the InMemoryRelation substitution.
+    """
+    spark = df.sparkSession
     try:
-        leaves = df._jdf.queryExecution().analyzed().collectLeaves()
+        jdf = df.select("*")._jdf  # fresh QE → cache substitution applied
+        leaves = jdf.queryExecution().optimizedPlan().collectLeaves()
         counts: list[int] = []
         for i in range(leaves.size()):
             leaf = leaves.apply(i)
@@ -199,6 +232,16 @@ def _local_leaf_partition_probe(df: DataFrame) -> int | None:
                 counts.append(0)
             elif name == "LogicalRDD":
                 counts.append(max(0, int(leaf.outputPartitioning().numPartitions())))
+            elif name == "InMemoryRelation":
+                rdd = leaf.cacheBuilder().cachedColumnBuffers()
+                counts.append(int(rdd.getNumPartitions()))
+            elif name == "LogicalRelation":
+                files = list(leaf.relation().location().inputFiles())
+                est = _estimated_scan_partitions(spark, files)
+                if est is None:
+                    size = int(leaf.relation().sizeInBytes())
+                    est = _estimated_scan_partitions_from_sizes(spark, [size])
+                counts.append(est)
             else:
                 return None
         return max(counts) if counts else None
@@ -219,15 +262,19 @@ def widen_small_input(df: DataFrame, num_partitions: int | None = None) -> DataF
     input already has ≥ parallelism splits and this is a no-op — the guard
     means the 100 TB path never pays the extra full-data shuffle.
 
-    The decision is made WITHOUT ``.rdd`` / physical planning: file-backed
-    frames get a split estimate from the file listing (Spark's own packing
-    formula), everything else a logical-plan leaf probe. File COUNT alone is
-    not evidence — Spark packs small files into few splits (openCostInBytes
+    The decision is made WITHOUT ``.rdd`` / physical planning of the full
+    query: file-backed frames get a split estimate from the file listing
+    (Spark's own packing formula), everything else — persisted frames
+    (``inputFiles()`` is EMPTY for those), driver-local frames, and mixed
+    plans — a per-leaf optimized-plan probe. File COUNT alone is not
+    evidence — Spark packs small files into few splits (openCostInBytes
     padding), so ≥ p tiny files can still scan as ONE split; the estimate
-    reproduces that packing. Unknown stays unwidened: a frame whose leaves
-    this can't size (external relations) already has scan-side parallelism
-    knobs of its own, and adding a blind full-data shuffle is the costlier
-    mistake at scale.
+    reproduces that packing. Unstat-able file listings (remote URIs) fall
+    through to the leaf probe's catalog-size fallback rather than passing
+    silently. Unknown stays unwidened: a frame whose leaves this can't
+    size (external/DSv2 relations) already has scan-side parallelism
+    knobs of its own, and adding a blind full-data shuffle is the
+    costlier mistake at scale.
     """
     if df.isStreaming:  # micro-batch sizing is the stream source's job
         return df
@@ -237,13 +284,10 @@ def widen_small_input(df: DataFrame, num_partitions: int | None = None) -> DataF
         files = df.inputFiles()
     except Exception:
         files = []
-    if files:
-        est = _estimated_scan_partitions(spark, list(files))
-        if est is not None and est < p:
-            return df.repartition(p)
-        return df
-    probe = _local_leaf_partition_probe(df)
-    if probe is not None and probe < p:
+    est = _estimated_scan_partitions(spark, list(files)) if files else None
+    if est is None:
+        est = _local_leaf_partition_probe(df)
+    if est is not None and est < p:
         return df.repartition(p)
     return df
 

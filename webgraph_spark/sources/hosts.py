@@ -117,6 +117,13 @@ def top_private_domain_of(host: Column | str) -> Column:
     # precedence: dotted guard, exception rules (beat all), then longest
     # match — 3-label exact, then 2-label (exact or wildcard), then 1-label
     exc2 = e2 and last2.isin(*e2) & (n >= 2)
+    # a host that IS a 3-label rule (s3.amazonaws.com) stays unchanged —
+    # Guava's publicSuffixIndex == 0 gate and the join matcher both leave
+    # a host equal to a public suffix alone; without this branch such a
+    # host would fall through to the 1-label match and collapse to last2.
+    # (2-/1-label-suffix hosts need no branch: under2/under1's n-guards
+    # already make them fall through to otherwise(h).)
+    is_ps3 = s3 and last3.isin(*s3) & (n == 3)
     under3 = s3 and last3.isin(*s3) & (n >= 4)
     under2 = (last2.isin(*s2) | last1.isin(*w2)) & (n >= 3)
     under1 = last1.isin(*s1) & (n >= 2)
@@ -124,7 +131,7 @@ def top_private_domain_of(host: Column | str) -> Column:
     if e2:
         out = out.when(exc2, last2)
     if s3:
-        out = out.when(under3, last4)
+        out = out.when(is_ps3, h).when(under3, last4)
     return (
         out.when(under2, last3).when(under1, last2).otherwise(h)
     )

@@ -53,9 +53,12 @@ deviation :func:`read_scattered_arcs` documents; the node map's ``key`` is
 the NORMALIZED url (the reference's ``.urls`` file keeps the raw first-seen
 spelling); when two crawled pages normalize to the same URL, the kept link
 list is the one from the lexicographically-smallest raw url (the reference
-keeps the first-seen page's line, an input-order notion); ``+``-signed or
-> 9-digit port strings parse as "no port" rather than replaying
-``Integer.parseInt`` overflow; lone-surrogate input (which would make the
+keeps the first-seen page's line, an input-order notion); signed port
+strings (``:+80`` / ``:-80``, which ``Integer.parseInt`` inside
+``URL2.java:376`` accepts) parse as "no port" here — digit-only strings up
+to ``Integer.MAX_VALUE`` are kept and anything above it is "no port",
+replaying the parseInt overflow catch exactly; lone-surrogate input (which
+would make the
 reference's UTF-8 encoder throw and the URL invalid) passes through.
 """
 
@@ -139,8 +142,13 @@ def normalize_url2(col):
         has_port, F.regexp_extract(hostport, r"^([^:]*)", 1)
     ).otherwise(hostport)
     portstr = F.when(has_port, F.regexp_replace(hostport, r"^[^:]*:", ""))
+    # ≤ 10 digits AND ≤ Integer.MAX_VALUE: Java's parseInt accepts any
+    # int-range port (URL2 keeps e.g. :1234567890 in toString()); only a
+    # genuine parseInt overflow (> 2147483647) reads as "no port"
     port = F.when(
-        portstr.rlike(r"^[0-9]{1,9}$"), portstr.cast("long")
+        portstr.rlike(r"^[0-9]{1,10}$")
+        & (portstr.cast("long") <= F.lit(2147483647)),
+        portstr.cast("long"),
     ).otherwise(F.lit(-1))
     host = F.regexp_replace(host, r"\.$", "")
     authority = F.concat(
